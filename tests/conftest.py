@@ -1,0 +1,22 @@
+"""Test harness: run everything on a virtual 8-device CPU backend.
+
+Multi-chip sharding tests (SURVEY.md §4) use
+``xla_force_host_platform_device_count`` so mesh code paths execute
+without TPU hardware.  Must be set before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,112 @@
+"""Caffe-semantics ops vs torch (independent golden implementation).
+
+torch.nn.functional LRN / ceil-mode pooling / conv_transpose2d implement
+the same semantics as Caffe's layers, giving an oracle that shares no code
+with tpufcn.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from tpufcn.ops.caffe_layers import (
+    lrn_across_channels, max_pool_caffe, avg_pool_caffe,
+    conv_transpose_caffe, bilinear_kernel, upsample_bilinear_caffe)
+from tpufcn.ops.image import demean_bgr
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.moveaxis(x_nhwc, -1, 1).copy())
+
+
+def _nhwc(t_nchw):
+    return np.moveaxis(t_nchw.numpy(), 1, -1)
+
+
+def test_lrn_matches_torch(rng):
+    x = rng.standard_normal((2, 7, 9, 16), dtype=np.float32)
+    got = np.asarray(lrn_across_channels(jnp.asarray(x), 5, 1e-4, 0.75))
+    want = _nhwc(F.local_response_norm(_nchw(x), size=5, alpha=1e-4,
+                                       beta=0.75, k=1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_max_pool_ceil_mode(rng):
+    # 224 -> 112 under Caffe ceil mode (floor mode gives 111): the
+    # GoogLeNet pool1 case, reference models/deploy.prototxt.
+    x = rng.standard_normal((1, 224, 224, 8), dtype=np.float32)
+    got = np.asarray(max_pool_caffe(jnp.asarray(x), kernel=3, stride=2))
+    want = _nhwc(F.max_pool2d(_nchw(x), 3, 2, padding=0, ceil_mode=True))
+    assert got.shape == want.shape == (1, 112, 112, 8)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_max_pool_same_size_inception(rng):
+    x = rng.standard_normal((1, 28, 28, 8), dtype=np.float32)
+    got = np.asarray(max_pool_caffe(jnp.asarray(x), kernel=3, stride=1, pad=1))
+    want = _nhwc(F.max_pool2d(_nchw(x), 3, 1, padding=1, ceil_mode=True))
+    assert got.shape == (1, 28, 28, 8)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_avg_pool_pyramid_sizes(rng):
+    # The four pyramid pools of reference train/bounding_box/deploy.prototxt
+    x = rng.standard_normal((1, 56, 56, 4), dtype=np.float32)
+    for k, s, out in [(56, 56, 1), (28, 28, 2), (14, 14, 4), (8, 8, 7)]:
+        got = np.asarray(avg_pool_caffe(jnp.asarray(x), k, s))
+        want = _nhwc(F.avg_pool2d(_nchw(x), k, s, ceil_mode=True))
+        assert got.shape == (1, out, out, 4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_conv_transpose_geometry_and_values(rng):
+    # Caffe geometry out = (in-1)*s + k - 2p for the reference deconv
+    # configs (k8 s4 p2), (k4 s2 p1), (k16 s8 p4), (k13 s7 p3).
+    for k, s, p in [(8, 4, 2), (4, 2, 1), (16, 8, 4), (13, 7, 3)]:
+        cin, cout, n = 3, 5, 6
+        x = rng.standard_normal((1, n, n, cin), dtype=np.float32)
+        # torch weight layout (C_in, C_out, kh, kw)
+        wt = rng.standard_normal((cin, cout, k, k), dtype=np.float32)
+        want = F.conv_transpose2d(_nchw(x), torch.from_numpy(wt),
+                                  stride=s, padding=p)
+        # our kernel: HWIO of the equivalent forward conv = flip(spatial),
+        # then (kh, kw, C_in, C_out)
+        w = np.moveaxis(wt[:, :, ::-1, ::-1], (0, 1), (2, 3)).copy()
+        import jax
+        got = np.asarray(conv_transpose_caffe(
+            jnp.asarray(x), jnp.asarray(w), stride=s, pad=p,
+            precision=jax.lax.Precision.HIGHEST))
+        assert got.shape == tuple(_nhwc(want).shape)
+        np.testing.assert_allclose(got, _nhwc(want), rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_upsample_matches_torch_grouped_deconv(rng):
+    # upscore_pool3 config: k16 s8 p4, depthwise fixed bilinear
+    c, n = 11, 9
+    x = rng.standard_normal((2, n, n, c), dtype=np.float32)
+    got = np.asarray(upsample_bilinear_caffe(jnp.asarray(x), 16, 8, 4))
+    k2d = np.asarray(bilinear_kernel(16))
+    wt = torch.from_numpy(np.broadcast_to(k2d, (c, 1, 16, 16)).copy())
+    want = _nhwc(F.conv_transpose2d(_nchw(x), wt, stride=8, padding=4, groups=c))
+    assert got.shape == (2, (n - 1) * 8 + 16 - 8, (n - 1) * 8 + 16 - 8, c)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_kernel_values():
+    # k=4, f=2, c=0.75: 1-|x/2-0.75| over x=0..3 -> .25, .75, .75, .25
+    k = np.asarray(bilinear_kernel(4))
+    v = np.array([0.25, 0.75, 0.75, 0.25])
+    np.testing.assert_allclose(k, np.outer(v, v), atol=1e-7)
+
+
+def test_demean_bgr_reference_semantics(rng):
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.float32)
+    got = np.asarray(demean_bgr(jnp.asarray(img)))
+    x = img.copy()
+    x[:, :, 0] -= np.float32(104.0069879317889)
+    x[:, :, 1] -= np.float32(116.66876761696767)
+    x[:, :, 2] -= np.float32(122.6789143406786)
+    want = (x - x.min()) / (x.max() - x.min())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got.min() == 0.0 and abs(got.max() - 1.0) < 1e-6

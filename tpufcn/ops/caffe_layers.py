@@ -1,0 +1,157 @@
+"""Caffe-semantics primitive ops, TPU-native (NHWC, XLA-friendly).
+
+These reproduce the exact numerics of the Caffe layers the reference model
+zoo is built from (reference models/*.prototxt, train/*/*.prototxt), so
+converted ``.caffemodel`` weights produce bitwise-close outputs:
+
+* across-channel LRN with Caffe's ``alpha/n`` scaling
+  (models/deploy.prototxt LRN local_size 5, alpha 1e-4, beta 0.75);
+* ceil-mode pooling (Caffe computes output size with ``ceil``, XLA with
+  ``floor`` — we pad the bottom/right edge explicitly);
+* transposed convolution with Caffe's output geometry
+  ``(in-1)*stride + kernel - 2*pad``;
+* fixed bilinear depthwise upsampling — every Deconvolution in the
+  reference is ``group == channels`` with a frozen bilinear filler and no
+  bias (e.g. train/fcn_bbox/train_val.prototxt upscore_* layers), i.e.
+  pure bilinear interpolation expressed as a depthwise conv.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def lrn_across_channels(x: jax.Array,
+                        size: int = 5,
+                        alpha: float = 1e-4,
+                        beta: float = 0.75,
+                        k: float = 1.0) -> jax.Array:
+    """Caffe LRN (across channels): x / (k + alpha/size * sum_win x^2)^beta.
+
+    NHWC input; the window slides over the channel axis with zero padding,
+    matching Caffe's ACROSS_CHANNELS norm region (note Caffe divides alpha
+    by the local size).
+    """
+    sq = jnp.square(x.astype(jnp.float32))
+    pad = size // 2
+    win = jax.lax.reduce_window(
+        sq, 0.0, jax.lax.add,
+        window_dimensions=(1, 1, 1, size),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0), (pad, pad)))
+    scale = jnp.power(k + (alpha / size) * win, beta)
+    return (x.astype(jnp.float32) / scale).astype(x.dtype)
+
+
+def _ceil_pool_extra(in_size: int, kernel: int, stride: int, pad: int) -> Tuple[int, int]:
+    """Caffe pooled size uses ceil: out = ceil((in + 2p - k)/s) + 1.
+
+    Returns (out_size, extra_end_padding) so an XLA floor-mode window with
+    padding (pad, pad + extra) produces the Caffe output size.  Caffe also
+    guarantees the last window starts inside the image when pad > 0; all
+    reference pools with ceil-slack have pad == 0, and we assert the
+    clip rule is not violated otherwise.
+    """
+    out = int(math.ceil((in_size + 2 * pad - kernel) / stride)) + 1
+    if pad > 0 and (out - 1) * stride >= in_size + pad:
+        out -= 1
+    extra = (out - 1) * stride + kernel - in_size - 2 * pad
+    return out, max(extra, 0)
+
+
+def max_pool_caffe(x: jax.Array, kernel: int, stride: int, pad: int = 0) -> jax.Array:
+    """Ceil-mode max pooling over NHWC."""
+    h, w = x.shape[-3], x.shape[-2]
+    _, eh = _ceil_pool_extra(h, kernel, stride, pad)
+    _, ew = _ceil_pool_extra(w, kernel, stride, pad)
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad + eh), (pad, pad + ew), (0, 0)))
+
+
+def avg_pool_caffe(x: jax.Array, kernel: int, stride: int, pad: int = 0) -> jax.Array:
+    """Ceil-mode average pooling; the divisor is the full kernel area
+    (Caffe counts padded zeros), matching Caffe AVE semantics."""
+    h, w = x.shape[-3], x.shape[-2]
+    _, eh = _ceil_pool_extra(h, kernel, stride, pad)
+    _, ew = _ceil_pool_extra(w, kernel, stride, pad)
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad + eh), (pad, pad + ew), (0, 0)))
+    return (s / float(kernel * kernel)).astype(x.dtype)
+
+
+def conv_transpose_caffe(x: jax.Array,
+                         w: jax.Array,
+                         stride: int,
+                         pad: int,
+                         feature_group_count: int = 1,
+                         preferred_element_type=jnp.float32,
+                         precision=None) -> jax.Array:
+    """Transposed conv with Caffe geometry: out = (in-1)*s + k - 2*p.
+
+    Implemented as an input-dilated convolution.  ``w`` is HWIO for the
+    *equivalent forward conv* (i.e. already spatially flipped relative to
+    Caffe's deconv blob; the weight converter handles flip+transpose —
+    bilinear kernels are symmetric so flipping is a no-op for them).
+
+    ``precision=None`` lets the MXU run its fast (bf16-accumulate-fp32)
+    path; pass ``jax.lax.Precision.HIGHEST`` for fp32 parity runs.
+    """
+    k = w.shape[0]
+    p = k - 1 - pad
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((p, p), (p, p)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=preferred_element_type,
+        precision=precision,
+    ).astype(x.dtype)
+
+
+def bilinear_kernel(kernel_size: int, dtype=jnp.float32) -> jax.Array:
+    """Caffe 'bilinear' filler 2-D kernel (kernel_size, kernel_size).
+
+    f = ceil(k/2); c = (2f - 1 - f%2) / (2f);
+    w[y, x] = (1 - |x/f - c|) * (1 - |y/f - c|).
+    """
+    f = math.ceil(kernel_size / 2.0)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    ax = np.arange(kernel_size, dtype=np.float64)
+    v = 1.0 - np.abs(ax / f - c)
+    return jnp.asarray(np.outer(v, v), dtype)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def upsample_bilinear_caffe(x: jax.Array, kernel: int, stride: int, pad: int,
+                            high_precision: bool = True) -> jax.Array:
+    """Fixed bilinear depthwise transposed conv (all reference Deconvs).
+
+    Equivalent to Caffe ``Deconvolution(group=C, weight_filler=bilinear,
+    bias_term=false, lr_mult=0)`` — e.g. reference
+    train/fcn_bbox/train_val.prototxt ``upscore_pool3`` (k16 s8 p4).
+    Interpolation weights lose visible accuracy in bf16, so this defaults
+    to full precision (it is depthwise — negligible FLOPs).
+    """
+    c = x.shape[-1]
+    k2d = bilinear_kernel(kernel, jnp.float32)
+    w = jnp.broadcast_to(k2d[:, :, None, None], (kernel, kernel, 1, c))
+    precision = jax.lax.Precision.HIGHEST if high_precision else None
+    return conv_transpose_caffe(x.astype(jnp.float32), w, stride, pad,
+                                feature_group_count=c,
+                                precision=precision).astype(x.dtype)

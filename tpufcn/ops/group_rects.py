@@ -1,0 +1,175 @@
+"""On-device ``cv::groupRectangles``-equivalent box-grouping NMS.
+
+The reference delegates NMS to OpenCV's ``groupRectangles(minBoxes=3,
+eps=0.2)`` on the host (reference scripts/fcn_object_detector.py:337-351,
+duplicated at scripts/boundary_adjustment/boundary_refinement.py:249-263).
+That algorithm is:
+
+1. cluster rectangles into connected components of the ``SimilarRects``
+   predicate (positions/sizes within ``eps * (min(w)+min(h))/2`` of each
+   other), computed by transitive closure (OpenCV ``partition``);
+2. average the members of each cluster (rounded to int);
+3. keep clusters with strictly more than ``groupThreshold`` members,
+   weight = member count;
+4. suppress a surviving cluster contained (within an eps margin) inside a
+   bigger surviving cluster when the bigger one has more votes
+   (``n2 > max(3, n1) || n1 < 3``).
+
+This is data-dependent-shape on the host; here it is reformulated with
+fixed capacity and validity masks so it stays jittable and runs on device:
+the similarity graph is an ``N x N`` boolean matrix, connected components
+are found by iterated min-label propagation (a ``while_loop`` that
+converges in graph-diameter steps), and cluster averaging is a masked
+matmul that rides the MXU.
+
+Faithfulness notes:
+* The reference passes **corner** boxes ``(x1, y1, x2, y2)`` where OpenCV
+  expects ``(x, y, w, h)`` — i.e. the clustering math treats ``x2`` as a
+  width and ``y2`` as a height, exactly as NVIDIA DetectNet's original
+  code did.  We reproduce that field interpretation; callers pass corner
+  boxes just like the reference.
+* OpenCV receives integer rects; inputs are rounded to nearest-even
+  (``cvRound`` semantics) on entry, and cluster means are rounded the
+  same way (``saturate_cast<int>``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GroupedRects(NamedTuple):
+    rects: jax.Array    # (N, 4) averaged cluster rects (slot = root index)
+    weights: jax.Array  # (N,) int32 member counts
+    valid: jax.Array    # (N,) bool — surviving clusters
+
+
+def _similar(rects: jax.Array, valid: jax.Array, eps: float) -> jax.Array:
+    """(N, N) SimilarRects adjacency over (x, y, w, h)-interpreted rows."""
+    x, y, w, h = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    delta = eps * (jnp.minimum(w[:, None], w[None, :]) +
+                   jnp.minimum(h[:, None], h[None, :])) * 0.5
+    close = (
+        (jnp.abs(x[:, None] - x[None, :]) <= delta)
+        & (jnp.abs(y[:, None] - y[None, :]) <= delta)
+        & (jnp.abs((x + w)[:, None] - (x + w)[None, :]) <= delta)
+        & (jnp.abs((y + h)[:, None] - (y + h)[None, :]) <= delta)
+    )
+    return close & valid[:, None] & valid[None, :]
+
+
+def _connected_components(adj: jax.Array, valid: jax.Array) -> jax.Array:
+    """Min-index label propagation to a fixed point.
+
+    Returns (N,) int32 component labels; the label of a component is the
+    smallest member index.  Invalid rows keep their own index.
+    """
+    n = adj.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        # neighbor minimum: min over j with adj[i, j] of labels[j]
+        big = jnp.int32(n)
+        neigh = jnp.where(adj, labels[None, :], big)
+        new = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        # pointer-jump for fast convergence: label of my label
+        new = jnp.minimum(new, new[new])
+        return (new, jnp.any(new != labels))
+
+    labels, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True)))
+    return jnp.where(valid, labels, idx)
+
+
+def group_rectangles(rects: jax.Array,
+                     valid: jax.Array,
+                     group_threshold: int = 3,
+                     eps: float = 0.2) -> GroupedRects:
+    """Device groupRectangles over a fixed-capacity box set.
+
+    Args:
+      rects: (N, 4) candidate boxes.  Interpreted per OpenCV field order
+        ``(x, y, w, h)``; the detector passes corner boxes, matching the
+        reference call (fcn_object_detector.py:341-342).
+      valid: (N,) bool candidate mask.
+      group_threshold: keep clusters with count > group_threshold.
+      eps: similarity tolerance.
+
+    Returns:
+      GroupedRects with results in root-index slots.
+    """
+    n = rects.shape[0]
+    rects = jnp.rint(jnp.asarray(rects, jnp.float32))
+    valid = jnp.asarray(valid, jnp.bool_)
+
+    adj = _similar(rects, valid, eps)
+    labels = _connected_components(adj, valid)
+
+    # Cluster aggregation: membership[i, r] = (labels[i] == r) & valid[i].
+    member = (labels[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :])
+    member = member & valid[:, None]
+    memf = member.astype(jnp.float32)
+    counts = jnp.sum(memf, axis=0)                         # (N,)
+    # Full precision: sums are integers up to ~1e5 and bf16 MXU passes
+    # would mis-round them; this contraction is only (N, N) x (N, 4).
+    sums = jnp.matmul(memf.T, rects,
+                      precision=jax.lax.Precision.HIGHEST)  # (N, 4)
+    means = jnp.rint(sums / jnp.maximum(counts[:, None], 1.0))
+
+    weights = counts.astype(jnp.int32)
+    survive = weights > group_threshold                    # (N,)
+
+    # Containment suppression among survivors (reference semantics from
+    # OpenCV groupRectangles' second loop).
+    x, y = means[:, 0], means[:, 1]
+    w, h = means[:, 2], means[:, 3]
+    dx = jnp.rint(w * eps)
+    dy = jnp.rint(h * eps)
+    n1 = weights[:, None].astype(jnp.int32)                # row i
+    n2 = weights[None, :].astype(jnp.int32)                # col j
+    inside = (
+        (x[:, None] >= (x - dx)[None, :])
+        & (y[:, None] >= (y - dy)[None, :])
+        & ((x + w)[:, None] <= (x + w + dx)[None, :])
+        & ((y + h)[:, None] <= (y + h + dy)[None, :])
+    )
+    dominated = inside & (
+        (n2 > jnp.maximum(3, n1)) | (n1 < 3)
+    ) & survive[None, :] & (~jnp.eye(n, dtype=bool))
+    suppressed = jnp.any(dominated, axis=1)
+
+    out_valid = survive & ~suppressed
+    return GroupedRects(
+        rects=jnp.where(out_valid[:, None], means, 0.0),
+        weights=jnp.where(out_valid, weights, 0),
+        valid=out_valid,
+    )
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array       # (N, 4) corner boxes (x1, y1, x2, y2)
+    confidence: jax.Array  # (N,) log(votes)
+    valid: jax.Array       # (N,) bool
+
+
+def vote_boxes(propose_boxes: jax.Array,
+               valid: jax.Array,
+               group_threshold: int = 3,
+               eps: float = 0.2,
+               min_height: int = 20) -> Detections:
+    """Reference ``vote_boxes`` (fcn_object_detector.py:337-351) on device:
+    group candidate corner boxes, reject grouped rects shorter than
+    ``min_height`` pixels (``rect[3] - rect[1] >= 20``), confidence is the
+    log of the vote count."""
+    grouped = group_rectangles(propose_boxes, valid, group_threshold, eps)
+    tall = (grouped.rects[:, 3] - grouped.rects[:, 1]) >= min_height
+    ok = grouped.valid & tall
+    conf = jnp.where(ok, jnp.log(jnp.maximum(grouped.weights, 1).astype(jnp.float32)), 0.0)
+    return Detections(boxes=grouped.rects, confidence=conf, valid=ok)
