@@ -1,0 +1,74 @@
+"""Model zoo shape/structure tests (CPU, small inputs where possible)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufcn.models import build, get_spec, names
+
+
+@pytest.mark.parametrize("name,hw,exp_grid", [
+    ("googlenet_detectnet", (224, 224), 14),       # stride 16
+    ("vgg_detectnet_train", (224, 224), 28),       # stride 8
+    ("fcn8s_bbox", (96, 96), 12),                  # stride 8
+])
+def test_detection_model_shapes(name, hw, exp_grid):
+    spec = get_spec(name)
+    model = build(name, dtype=jnp.float32)
+    x = jnp.zeros((1, *hw, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    C = spec.grid.num_classes
+    assert out["coverage"].shape == (1, exp_grid, exp_grid, C)
+    assert out["bboxes"].shape == (1, exp_grid, exp_grid, 4 * C)
+    cov = np.asarray(out["coverage"])
+    assert (cov >= 0).all() and (cov <= 1).all()
+
+
+def test_pyramid_model_shapes():
+    # pyramid pooling needs the full 448 deploy geometry
+    model = build("vgg_pyramid_detectnet", dtype=jnp.float32)
+    x = jnp.zeros((1, 448, 448, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out["coverage"].shape == (1, 28, 28, 20)
+    assert out["bboxes"].shape == (1, 28, 28, 80)
+
+
+def test_fcn8s_seg_full_res():
+    model = build("fcn8s_bbox", dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out["seg"].shape == (1, 96, 96, 11)
+    # coverage is a softmax -> sums to 1 over classes
+    s = np.asarray(out["coverage"]).sum(-1)
+    np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+
+
+def test_fcn32s_shapes():
+    model = build("fcn32s_seg", dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out["seg"].shape == (1, 96, 96, 12)
+
+
+def test_registry_complete():
+    # every SURVEY.md model family (C16-C19) is represented
+    have = names()
+    for required in ("googlenet_detectnet", "googlenet_detectnet_1cls",
+                     "googlenet_detectnet_3cls", "vgg_detectnet_train",
+                     "vgg_pyramid_detectnet", "fcn8s_bbox", "fcn32s_seg"):
+        assert required in have
+
+
+def test_googlenet_param_names():
+    model = build("googlenet_detectnet", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    # caffe-mirroring module names for the converter
+    assert "conv1/7x7_s2" in params
+    assert "inception_3a" in params and "5x5_reduce" in params["inception_3a"]
+    assert "cvg/classifier" in params and "bbox/regressor" in params

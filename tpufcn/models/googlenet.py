@@ -1,0 +1,109 @@
+"""GoogLeNet (Inception-v1) DetectNet — the flagship detection model.
+
+TPU-native re-design of the reference deploy graph
+(reference models/deploy.prototxt: conv1 7x7/2 .. inception_5b, LRN x2,
+``Power shift:-127`` input transform, dropout 0.4, 1x1 coverage head with
+sigmoid + 1x1 bbox head).  Key structural facts preserved:
+
+* overall stride 16 — unlike standard GoogLeNet there is **no** pool
+  between inception_4e and inception_5a (deploy.prototxt: inception_5a
+  consumes inception_4e/output directly), so 448x448 -> 28x28;
+* LRN after pool1 and after conv2/3x3 (local_size 5, alpha 1e-4, beta .75);
+* ceil-mode max pools (k3 s2);
+* input transform is ``x - 127`` on raw 0..255 BGR pixels
+  (deploy.prototxt deploy_transform) — this family does NOT use the
+  demean+minmax preprocessing of the FCN families.
+
+Train variants (reference models/train_val.prototxt: 1 class;
+models/train_val2.prototxt: 3 classes) are the same graph with different
+head widths — select via ``num_classes``.
+
+Layout: NHWC, bfloat16 compute / fp32 params by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpufcn.models.layers import conv_relu, max_pool_caffe, LRN
+
+# Inception block widths: (1x1, 3x3_reduce, 3x3, 5x5_reduce, 5x5, pool_proj)
+INCEPTION_CFG = {
+    "3a": (64, 96, 128, 16, 32, 32),
+    "3b": (128, 128, 192, 32, 96, 64),
+    "4a": (192, 96, 208, 16, 48, 64),
+    "4b": (160, 112, 224, 24, 64, 64),
+    "4c": (128, 128, 256, 24, 64, 64),
+    "4d": (112, 144, 288, 32, 64, 64),
+    "4e": (256, 160, 320, 32, 128, 128),
+    "5a": (256, 160, 320, 32, 128, 128),
+    "5b": (384, 192, 384, 48, 128, 128),
+}
+
+
+class Inception(nn.Module):
+    """One inception module; branch names match the Caffe blob names."""
+
+    n1: int; n3r: int; n3: int; n5r: int; n5: int; npp: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = dict(dtype=self.dtype)
+        b1 = conv_relu(x, self.n1, 1, name="1x1", **d)
+        b3 = conv_relu(x, self.n3r, 1, name="3x3_reduce", **d)
+        b3 = conv_relu(b3, self.n3, 3, pad=1, name="3x3", **d)
+        b5 = conv_relu(x, self.n5r, 1, name="5x5_reduce", **d)
+        b5 = conv_relu(b5, self.n5, 5, pad=2, name="5x5", **d)
+        bp = max_pool_caffe(x, 3, 1, 1)
+        bp = conv_relu(bp, self.npp, 1, name="pool_proj", **d)
+        return jnp.concatenate([b1, b3, b5, bp], axis=-1)
+
+
+class GoogLeNetDetectNet(nn.Module):
+    """Input: raw BGR uint8/float NHWC in [0, 255].  Output grid stride 16.
+
+    Returns {"coverage": (B, H/16, W/16, C) sigmoid probabilities,
+             "bboxes": (B, H/16, W/16, 4C) corner offsets}.
+    """
+
+    num_classes: int = 4       # coverage channels (deploy.prototxt: 4)
+    dropout_rate: float = 0.4  # deploy.prototxt pool5/drop_s1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
+        d = dict(dtype=self.dtype)
+        # deploy_transform: Power shift -127 (deploy.prototxt:9-18)
+        x = (jnp.asarray(x, jnp.float32) - 127.0).astype(self.dtype)
+
+        x = conv_relu(x, 64, 7, stride=2, pad=3, name="conv1/7x7_s2", **d)
+        x = max_pool_caffe(x, 3, 2)                  # pool1/3x3_s2
+        x = LRN(name="pool1/norm1")(x)
+        x = conv_relu(x, 64, 1, name="conv2/3x3_reduce", **d)
+        x = conv_relu(x, 192, 3, pad=1, name="conv2/3x3", **d)
+        x = LRN(name="conv2/norm2")(x)
+        x = max_pool_caffe(x, 3, 2)                  # pool2/3x3_s2
+
+        x = Inception(*INCEPTION_CFG["3a"], name="inception_3a", dtype=self.dtype)(x)
+        x = Inception(*INCEPTION_CFG["3b"], name="inception_3b", dtype=self.dtype)(x)
+        x = max_pool_caffe(x, 3, 2)                  # pool3/3x3_s2
+        for blk in ("4a", "4b", "4c", "4d", "4e"):
+            x = Inception(*INCEPTION_CFG[blk], name=f"inception_{blk}",
+                          dtype=self.dtype)(x)
+        # NOTE: no pool between 4e and 5a — stride stays 16.
+        x = Inception(*INCEPTION_CFG["5a"], name="inception_5a", dtype=self.dtype)(x)
+        x = Inception(*INCEPTION_CFG["5b"], name="inception_5b", dtype=self.dtype)(x)
+
+        x = nn.Dropout(self.dropout_rate, deterministic=not train,
+                       name="pool5/drop_s1")(x)
+
+        cvg = conv_relu(x, self.num_classes, 1, name="cvg/classifier",
+                        relu=False, **d)
+        coverage = nn.sigmoid(cvg.astype(jnp.float32))
+        bboxes = conv_relu(x, 4 * self.num_classes, 1, name="bbox/regressor",
+                           relu=False, **d).astype(jnp.float32)
+        return {"coverage": coverage, "bboxes": bboxes}

@@ -1,0 +1,86 @@
+"""Shared building blocks for the model zoo (flax.linen, NHWC).
+
+Module names mirror the Caffe layer names (reference models/deploy.prototxt,
+train/*/*.prototxt) so the ``.caffemodel`` converter maps blobs to param
+paths 1:1.  Compute dtype is configurable (bfloat16 for MXU speed, float32
+for parity); accumulation is always float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpufcn.ops.caffe_layers import (
+    avg_pool_caffe, lrn_across_channels, max_pool_caffe,
+    upsample_bilinear_caffe)
+
+Dtype = Any
+
+# Caffe "xavier" filler: uniform(-a, a), a = sqrt(3 / fan_in).
+xavier_caffe = nn.initializers.variance_scaling(
+    1.0, "fan_in", "uniform")
+
+
+class CaffeConv(nn.Module):
+    """2-D conv with Caffe geometry (explicit symmetric padding)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad), (self.pad, self.pad)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=xavier_caffe,
+            name="conv",
+        )(x)
+
+
+def conv_relu(x, features, kernel, stride=1, pad=0, *, name,
+              dtype=jnp.bfloat16, param_dtype=jnp.float32, relu=True):
+    """Conv (+ReLU) helper used inside @nn.compact bodies."""
+    y = CaffeConv(features, kernel, stride, pad, dtype=dtype,
+                  param_dtype=param_dtype, name=name)(x)
+    return nn.relu(y) if relu else y
+
+
+def upsample_factor(x, factor: int) -> jax.Array:
+    """Caffe FCN upsampling rule: fixed bilinear deconv with
+    k = 2f - f%2, s = f, p = ceil((f-1)/2) — the exact kernel recipe the
+    reference documents inline (train/bounding_box/deploy.prototxt:
+    'kernel 2*factor - factor%2, pad int(ceil((factor-1)/2.))')."""
+    k = 2 * factor - factor % 2
+    p = math.ceil((factor - 1) / 2.0)
+    return upsample_bilinear_caffe(x, k, factor, p)
+
+
+class LRN(nn.Module):
+    size: int = 5
+    alpha: float = 1e-4
+    beta: float = 0.75
+
+    @nn.compact
+    def __call__(self, x):
+        return lrn_across_channels(x, self.size, self.alpha, self.beta)
+
+
+__all__ = [
+    "CaffeConv", "conv_relu", "upsample_factor", "LRN",
+    "max_pool_caffe", "avg_pool_caffe", "xavier_caffe",
+]

@@ -1,0 +1,121 @@
+"""Model zoo registry: the four reference graph families (SURVEY.md C16-C19)
+plus their head-width variants, each with its canonical grid geometry and
+input preprocessing convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpufcn.core.config import GridConfig
+from tpufcn.models.googlenet import GoogLeNetDetectNet
+from tpufcn.models.vgg import VGGDetectNet, VGGPyramidDetectNet
+from tpufcn.models.fcn import FCN8sBBox, FCN32sSeg
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """A zoo entry: module factory, grid geometry, IO conventions."""
+
+    factory: Callable[..., nn.Module]
+    grid: GridConfig
+    preprocessing: str          # "shift127" (raw-127) | "demean" (demean+minmax)
+    background_channel: Any     # int channel to skip in coverage, or None
+    heads: tuple                # subset of ("coverage", "bboxes", "seg")
+    reference: str              # prototxt this mirrors (for parity checks)
+
+
+_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register(name: str, spec: ModelSpec) -> None:
+    _REGISTRY[name] = spec
+
+
+def get_spec(name: str) -> ModelSpec:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def build(name: str, dtype=jnp.bfloat16, **overrides) -> nn.Module:
+    return get_spec(name).factory(dtype=dtype, **overrides)
+
+
+def names():
+    return sorted(_REGISTRY)
+
+
+# --- GoogLeNet DetectNet family (reference models/*.prototxt) -------------
+register("googlenet_detectnet", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
+        num_classes=kw.pop("num_classes", 4), dtype=dtype, **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=4),
+    preprocessing="shift127",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="models/deploy.prototxt",
+))
+register("googlenet_detectnet_1cls", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
+        num_classes=kw.pop("num_classes", 1), dtype=dtype, **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=1),
+    preprocessing="shift127",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="models/train_val.prototxt",
+))
+register("googlenet_detectnet_3cls", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
+        num_classes=kw.pop("num_classes", 3), dtype=dtype, **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=3),
+    preprocessing="shift127",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="models/train_val2.prototxt",
+))
+
+# --- VGG DetectNet family (reference train/bounding_box/) -----------------
+register("vgg_detectnet_train", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: VGGDetectNet(
+        num_classes=kw.pop("num_classes", 11), dtype=dtype, **kw),
+    grid=GridConfig(224, 224, stride=8, num_classes=11),
+    preprocessing="demean",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="train/bounding_box/train_val.prototxt",
+))
+register("vgg_pyramid_detectnet", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: VGGPyramidDetectNet(
+        num_classes=kw.pop("num_classes", 20), dtype=dtype, **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=20),
+    preprocessing="demean",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="train/bounding_box/deploy.prototxt",
+))
+
+# --- FCN families ---------------------------------------------------------
+register("fcn8s_bbox", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: FCN8sBBox(
+        num_classes=kw.pop("num_classes", 11), dtype=dtype, **kw),
+    # coverage grid at stride 8; classes include background (channel 0)
+    grid=GridConfig(288, 288, stride=8, num_classes=11),
+    preprocessing="demean",
+    background_channel=0,
+    heads=("coverage", "bboxes", "seg"),
+    reference="train/fcn_bbox/train_val.prototxt",
+))
+register("fcn32s_seg", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: FCN32sSeg(
+        num_classes=kw.pop("num_classes", 12), dtype=dtype, **kw),
+    grid=GridConfig(224, 224, stride=16, num_classes=12),
+    preprocessing="demean",
+    background_channel=0,
+    heads=("seg",),
+    reference="train/semantic_segmentation/train_val.prototxt",
+))
