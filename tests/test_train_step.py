@@ -1,0 +1,94 @@
+"""Train step tests: loss semantics, single-device step, and the
+multi-device (data x space) sharded step on the fake 8-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufcn.core.config import GridConfig, MeshConfig, TrainConfig
+from tpufcn.core.mesh import make_mesh
+from tpufcn.models import build
+from tpufcn.ops.grid_codec import encode_grid_labels_batch, GridLabels
+from tpufcn.train.losses import (
+    detectnet_loss, l1_loss_caffe, euclidean_loss_caffe, seg_loss)
+from tpufcn.train.step import make_train_step, init_state, batch_sharding
+
+
+def _tiny_cfg(**kw):
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    return TrainConfig(grid=grid, model="vgg_detectnet_train", **kw)
+
+
+def _batch(rng, B, H, W, M=4, C=2):
+    return {
+        "image": rng.random((B, H, W, 3), dtype=np.float32),
+        "rects": np.tile(np.array([8.0, 8.0, 24.0, 24.0], np.float32),
+                         (B, M, 1)),
+        "labels": rng.integers(0, C, size=(B, M)).astype(np.int32),
+        "valid": np.tile(np.array([True] + [False] * (M - 1)), (B, 1)),
+    }
+
+
+def test_caffe_loss_normalizations(rng):
+    a = rng.random((4, 3, 3, 2), dtype=np.float32)
+    b = rng.random((4, 3, 3, 2), dtype=np.float32)
+    np.testing.assert_allclose(
+        float(l1_loss_caffe(jnp.asarray(a), jnp.asarray(b))),
+        np.abs(a - b).sum() / 4, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(euclidean_loss_caffe(jnp.asarray(a), jnp.asarray(b))),
+        ((a - b) ** 2).sum() / 8, rtol=1e-5)
+    logits = rng.random((2, 4, 4, 3), dtype=np.float32)
+    lab = rng.integers(0, 3, size=(2, 4, 4)).astype(np.int32)
+    got = float(seg_loss(jnp.asarray(logits), jnp.asarray(lab), False))
+    p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    want = -np.log(np.take_along_axis(p, lab[..., None], -1)).sum() / 2
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_detectnet_loss_zero_when_perfect(rng):
+    """If predictions equal the (masked) labels exactly, bbox loss is 0."""
+    grid = GridConfig(64, 64, 8, 2)
+    b = _batch(rng, 2, 64, 64)
+    labels = encode_grid_labels_batch(b["rects"], b["labels"], b["valid"], grid)
+    outputs = {"coverage": labels.coverage, "bboxes": labels.bbox}
+    total, m = detectnet_loss(outputs, labels)
+    # pred side multiplies by coverage_block -> masked bbox equals label
+    np.testing.assert_allclose(float(m["loss_bbox"]), 0.0, atol=1e-4)
+    np.testing.assert_allclose(float(m["loss_coverage"]), 0.0, atol=1e-6)
+
+
+def test_train_step_single_device(rng):
+    cfg = _tiny_cfg()
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg)
+    b = {k: jnp.asarray(v) for k, v in _batch(rng, 2, 64, 64).items()}
+    # snapshot one leaf before the step (state buffers are donated)
+    before = np.asarray(
+        state.params["params"]["cvg/classifier"]["conv"]["bias"]).copy()
+    state2, metrics = step(state, b)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss_total"]))
+    after = np.asarray(state2.params["params"]["cvg/classifier"]["conv"]["bias"])
+    assert np.abs(after - before).sum() > 0  # params actually moved
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_train_step_sharded_mesh(rng, mesh_shape):
+    """Full DP(+spatial) sharded step on the fake 8-device CPU mesh."""
+    d, s = mesh_shape
+    mesh = make_mesh(MeshConfig(data=d, space=s))
+    cfg = _tiny_cfg(mesh=MeshConfig(data=d, space=s))
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, mesh=mesh)
+
+    B = 8
+    raw = _batch(rng, B, 64, 64)
+    sh = batch_sharding(mesh)
+    b = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in raw.items()}
+    state2, metrics = step(state, b)
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(state2.step) == 1

@@ -70,8 +70,10 @@ def max_pool_caffe(x: jax.Array, kernel: int, stride: int, pad: int = 0) -> jax.
     h, w = x.shape[-3], x.shape[-2]
     _, eh = _ceil_pool_extra(h, kernel, stride, pad)
     _, ew = _ceil_pool_extra(w, kernel, stride, pad)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).min
+    # init_value must be a static scalar (a traced array breaks reverse-mode
+    # partial-eval under jit)
+    neg = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),

@@ -1,0 +1,174 @@
+"""Single-dispatch TPU inference pipeline.
+
+The reference's per-frame path (reference scripts/fcn_object_detector.py
+``run_detector``, :54-174) crosses host<->device once for the conv stack
+and then decodes grids in Python list-comprehension loops on the host.
+Here the entire chain
+
+    raw BGR frames -> preprocess -> forward -> grid decode -> top-K
+    candidate select -> groupRectangles NMS -> rescale to frame coords
+
+is ONE jitted XLA program: a single dispatch per batch, nothing returns
+to the host until the fixed-capacity detection tensors.  This is the
+BASELINE.json north-star structure ("grid decode, boundary adjustment,
+and NMS run on-device so the node callback is a single dispatched call").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufcn.core.config import DetectorConfig, GridConfig
+from tpufcn.models import build as build_model, get_spec
+from tpufcn.ops.grid_codec import decode_gridboxes
+from tpufcn.ops.group_rects import vote_boxes
+from tpufcn.ops.image import demean_bgr, resize_bilinear
+
+
+class DetectionResult(NamedTuple):
+    """Fixed-capacity per-class detections, frame coordinates.
+
+    boxes: (B, C, K, 4) int corner boxes (x1, y1, x2, y2).
+    confidence: (B, C, K) float log-votes (reference conf = log(weight)).
+    valid: (B, C, K) bool.
+    """
+
+    boxes: jax.Array
+    confidence: jax.Array
+    valid: jax.Array
+
+    def to_lists(self):
+        """Host-side: list (per image) of (box, label, conf) tuples."""
+        boxes = np.asarray(self.boxes)
+        conf = np.asarray(self.confidence)
+        valid = np.asarray(self.valid)
+        out = []
+        for b in range(boxes.shape[0]):
+            dets = []
+            for c in range(boxes.shape[1]):
+                for k in np.nonzero(valid[b, c])[0]:
+                    dets.append((boxes[b, c, k].tolist(), int(c),
+                                 float(conf[b, c, k])))
+            out.append(dets)
+        return out
+
+
+def _preprocess(frames: jax.Array, mode: str, net_hw: Tuple[int, int]) -> jax.Array:
+    """Family-specific preprocessing on device.
+
+    * "shift127": GoogLeNet DetectNet family — resize raw 0..255 BGR; the
+      model itself applies the Power(-127) shift (deploy.prototxt:9-18).
+    * "demean": FCN/VGG families — ImageNet-BGR demean + per-image minmax
+      (computed at the *input* resolution, as the reference does:
+      fcn_object_detector.py:79 demeans before the resize at :80), then
+      resize.
+    """
+    x = jnp.asarray(frames, jnp.float32)
+    if mode == "demean":
+        x = demean_bgr(x)
+    if x.shape[-3:-1] != net_hw:
+        x = resize_bilinear(x, net_hw)
+    return x
+
+
+class Detector:
+    """TPU detector over one model family.
+
+    Example:
+        det = Detector("googlenet_detectnet")
+        result = det(frames_u8)   # (B, H, W, 3) BGR
+    """
+
+    def __init__(self,
+                 model_name: str = "googlenet_detectnet",
+                 config: Optional[DetectorConfig] = None,
+                 params: Optional[Any] = None,
+                 dtype=jnp.bfloat16,
+                 max_candidates: int = 512,
+                 rng_seed: int = 0):
+        self.spec = get_spec(model_name)
+        self.model = build_model(model_name, dtype=dtype)
+        grid = self.spec.grid
+        self.config = config or DetectorConfig(
+            grid=grid, model=model_name, max_candidates=max_candidates)
+        self.grid = self.config.grid
+        if params is None:
+            x0 = jnp.zeros((1, grid.im_height, grid.im_width, 3), jnp.float32)
+            params = jax.jit(self.model.init)(jax.random.key(rng_seed), x0)
+        self.params = params
+        self._infer = jax.jit(self._infer_impl)
+
+    # number of foreground classes actually decoded
+    @property
+    def num_fg(self) -> int:
+        C = self.grid.num_classes
+        return C - 1 if self.spec.background_channel is not None else C
+
+    def _infer_impl(self, params, frames):
+        cfg = self.config
+        grid = self.grid
+        net_hw = (grid.im_height, grid.im_width)
+        in_h, in_w = frames.shape[-3], frames.shape[-2]
+
+        x = _preprocess(frames, self.spec.preprocessing, net_hw)
+        out = self.model.apply(params, x)
+        coverage, bboxes = out["coverage"], out["bboxes"]
+
+        bg = self.spec.background_channel
+        if bg is not None:
+            # reference skips the background coverage channel
+            # (fcn_object_detector.py:89 reads [1:]) but indexes bbox
+            # channels by foreground class id * 4 (:106).
+            keep = [c for c in range(grid.num_classes) if c != bg]
+            coverage = coverage[..., keep]
+            bboxes = bboxes[..., : 4 * len(keep)]
+            dec_grid = dataclasses.replace(grid, num_classes=len(keep))
+        else:
+            dec_grid = grid
+
+        K = min(cfg.candidate_capacity,
+                min(self.config.candidate_capacity, 10**9))
+        K = min(K, dec_grid.grid_h * dec_grid.grid_w)
+
+        def per_image(cvg_i, bbox_i):
+            boxes, cvg, valid = decode_gridboxes(
+                cvg_i, bbox_i, dec_grid, cfg.detection_threshold)
+
+            def per_class(boxes_c, cvg_c, valid_c):
+                # top-K candidates by coverage among valid cells
+                score = jnp.where(valid_c, cvg_c, -1.0)
+                _, idx = jax.lax.top_k(score, K)
+                cand = boxes_c[idx]
+                cand_valid = valid_c[idx]
+                det = vote_boxes(cand, cand_valid,
+                                 cfg.min_boxes, cfg.nms_eps,
+                                 cfg.min_box_height)
+                return det.boxes, det.confidence, det.valid
+
+            return jax.vmap(per_class)(boxes, cvg, valid)
+
+        d_boxes, d_conf, d_valid = jax.vmap(per_image)(coverage, bboxes)
+
+        # resize_detection back to frame coords (reference
+        # fcn_object_detector.py:396-405); the reference materializes int
+        # boxes before scaling (np.int cast at :123), then the scaled
+        # values are assigned into an int array (truncation).
+        diff = jnp.array([in_w / grid.im_width, in_h / grid.im_height] * 2,
+                         jnp.float32)
+        d_boxes = jnp.trunc(jnp.trunc(d_boxes) * diff).astype(jnp.int32)
+        return DetectionResult(d_boxes, d_conf, d_valid)
+
+    def __call__(self, frames) -> DetectionResult:
+        """frames: (B, H, W, 3) BGR, uint8 or float in [0, 255]."""
+        return self._infer(self.params, jnp.asarray(frames))
+
+    def forward_fn(self):
+        """(fn, params) pair for compile checks / benchmarking the raw
+        jitted pipeline without the class wrapper."""
+        return self._infer, self.params

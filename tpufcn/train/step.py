@@ -1,0 +1,139 @@
+"""Jitted data-parallel train step over the (data, space) mesh.
+
+The reference training loop is NVCaffe's C++ solver calling a *host*
+Python data layer every iteration (reference train/train.sh:26,
+scripts/data_argumentation_layer/data_argumentation_layer.py:75-124 — the
+known bottleneck).  Here the whole iteration is one XLA program:
+
+  batch {image, gt rects, labels}  --(sharded over "data"/"space")-->
+  on-device DetectNet grid-label encoding (tpufcn.ops.grid_codec)
+  -> forward -> Caffe-semantics losses -> backward -> optax update,
+with gradients all-reduced over ICI by GSPMD (no hand-written NCCL
+analog: the mesh sharding annotations make XLA insert the collectives).
+
+Spatial sharding: activations NHWC are sharded over ("data", "space") on
+(N, H); XLA's spatial partitioning inserts conv halo exchanges
+automatically — this is the honest CP/SP analog for an FCN (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpufcn.core.config import TrainConfig
+from tpufcn.core.mesh import DATA_AXIS, SPACE_AXIS
+from tpufcn.ops.grid_codec import encode_grid_labels_batch
+from tpufcn.train.losses import detectnet_loss
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + dropout rng."""
+
+    dropout_rng: jax.Array = struct.field(pytree_node=True, default=None)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Caffe solver semantics (reference train/*/solver.prototxt):
+
+    * adam recipe: ADAM lr 1e-4, step lr *0.1 every 10k, wd 1e-7
+      (train/bounding_box/solver.prototxt:3-16);
+    * sgd recipe: momentum 0.9, fixed lr, wd 1e-7
+      (train/fcn_bbox/solver.prototxt:1-13).
+    Caffe weight decay is L2 added to gradients (all params).
+    """
+    if cfg.lr_decay_step > 0 and cfg.optimizer == "adam":
+        sched = optax.exponential_decay(
+            cfg.learning_rate, cfg.lr_decay_step, cfg.lr_gamma,
+            staircase=True)
+    else:
+        sched = cfg.learning_rate
+    if cfg.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        opt,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Shardings for the raw batch dict: images batch+space sharded,
+    box tensors batch sharded."""
+    img = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+    vec = NamedSharding(mesh, P(DATA_AXIS))
+    return {"image": img, "rects": vec, "labels": vec, "valid": vec,
+            "seg": NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None))}
+
+
+def make_train_step(model,
+                    cfg: TrainConfig,
+                    mesh: Optional[Mesh] = None,
+                    with_seg: bool = False) -> Callable:
+    """Build the jitted step: (state, batch) -> (state, metrics).
+
+    batch dict:
+      image: (B, H, W, 3) float (preprocessed) — sharded (data, space)
+      rects: (B, M, 4) float GT boxes
+      labels: (B, M) int32 class ids
+      valid: (B, M) bool
+      seg:   (B, H, W) int32 mask (only when with_seg)
+    """
+    grid = cfg.grid
+
+    def loss_fn(params, batch, dropout_rng):
+        out = model.apply(params, batch["image"], train=True,
+                          rngs={"dropout": dropout_rng})
+        glabels = encode_grid_labels_batch(
+            batch["rects"], batch["labels"], batch["valid"], grid)
+        seg_labels = batch.get("seg") if with_seg else None
+        total, metrics = detectnet_loss(
+            out, glabels,
+            bbox_weight=cfg.bbox_loss_weight,
+            coverage_weight=cfg.coverage_loss_weight,
+            seg_labels=seg_labels,
+            seg_weight=cfg.seg_loss_weight)
+        return total, metrics
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, new_rng = jax.random.split(state.dropout_rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        new_state = state.apply_gradients(grads=grads, dropout_rng=new_rng)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+
+    repl = NamedSharding(mesh, P())
+    bsh = batch_sharding(mesh)
+    in_batch = {k: bsh[k] for k in
+                (["image", "rects", "labels", "valid"]
+                 + (["seg"] if with_seg else []))}
+    return jax.jit(
+        step,
+        in_shardings=(repl, in_batch),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def init_state(model, cfg: TrainConfig, sample_image_shape,
+               rng_seed: int = 0) -> TrainState:
+    rng = jax.random.key(rng_seed)
+    p_rng, d_rng = jax.random.split(rng)
+    x0 = jnp.zeros(sample_image_shape, jnp.float32)
+    params = model.init(p_rng, x0)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_optimizer(cfg),
+        dropout_rng=d_rng)
