@@ -28,7 +28,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tpufcn.models.layers import conv_relu, max_pool_caffe, LRN
+from tpufcn.models.layers import (
+    conv_relu, max_pool_caffe, LRN, SpaceToDepthStemConv)
 
 # Inception block widths: (1x1, 3x3_reduce, 3x3, 5x5_reduce, 5x5, pool_proj)
 INCEPTION_CFG = {
@@ -80,7 +81,8 @@ class GoogLeNetDetectNet(nn.Module):
         # deploy_transform: Power shift -127 (deploy.prototxt:9-18)
         x = (jnp.asarray(x, jnp.float32) - 127.0).astype(self.dtype)
 
-        x = conv_relu(x, 64, 7, stride=2, pad=3, name="conv1/7x7_s2", **d)
+        x = nn.relu(SpaceToDepthStemConv(64, 7, 3, dtype=self.dtype,
+                                         name="conv1/7x7_s2")(x))
         x = max_pool_caffe(x, 3, 2)                  # pool1/3x3_s2
         x = LRN(name="pool1/norm1")(x)
         x = conv_relu(x, 64, 1, name="conv2/3x3_reduce", **d)

@@ -60,6 +60,47 @@ def conv_relu(x, features, kernel, stride=1, pad=0, *, name,
     return nn.relu(y) if relu else y
 
 
+class _S2DConvInner(nn.Module):
+    """Raw-param conv applied via the space-to-depth fast path; param
+    layout (HWIO kernel + bias) identical to nn.Conv for the converter."""
+
+    features: int
+    kernel: int
+    pad: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tpufcn.ops.fast_conv import conv2d_space_to_depth
+        cin = x.shape[-1]
+        kern = self.param("kernel", xavier_caffe,
+                          (self.kernel, self.kernel, cin, self.features),
+                          self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        y = conv2d_space_to_depth(x.astype(self.dtype),
+                                  kern.astype(self.dtype), 2, self.pad)
+        return (y + bias).astype(self.dtype)
+
+
+class SpaceToDepthStemConv(nn.Module):
+    """Drop-in replacement for CaffeConv(stride=2) on tiny-C_in stems:
+    numerically identical, 4x denser MXU packing (see
+    tpufcn.ops.fast_conv).  Param tree matches CaffeConv ("conv" child)."""
+
+    features: int
+    kernel: int
+    pad: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return _S2DConvInner(self.features, self.kernel, self.pad,
+                             self.dtype, self.param_dtype, name="conv")(x)
+
+
 def upsample_factor(x, factor: int) -> jax.Array:
     """Caffe FCN upsampling rule: fixed bilinear deconv with
     k = 2f - f%2, s = f, p = ceil((f-1)/2) — the exact kernel recipe the

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _lrn_band(c: int, size: int) -> jnp.ndarray:
+    """(C, C) 0/1 band matrix: band[i, j] = 1 iff |i - j| <= size // 2."""
+    idx = np.arange(c)
+    return jnp.asarray(
+        (np.abs(idx[:, None] - idx[None, :]) <= size // 2).astype(np.float32))
+
+
 def lrn_across_channels(x: jax.Array,
                         size: int = 5,
                         alpha: float = 1e-4,
@@ -37,16 +44,25 @@ def lrn_across_channels(x: jax.Array,
     NHWC input; the window slides over the channel axis with zero padding,
     matching Caffe's ACROSS_CHANNELS norm region (note Caffe divides alpha
     by the local size).
+
+    TPU notes: a sliding window over the channel (lane) axis is slow as a
+    reduce_window; instead the window sum is a (C, C) banded matmul that
+    rides the MXU.  For the Caffe-universal beta = 0.75 the power is
+    computed as s^-0.75 = rsqrt(s) * rsqrt(rsqrt(s)) (two VPU rsqrts)
+    instead of a transcendental pow.
     """
-    sq = jnp.square(x.astype(jnp.float32))
-    pad = size // 2
-    win = jax.lax.reduce_window(
-        sq, 0.0, jax.lax.add,
-        window_dimensions=(1, 1, 1, size),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (0, 0), (0, 0), (pad, pad)))
-    scale = jnp.power(k + (alpha / size) * win, beta)
-    return (x.astype(jnp.float32) / scale).astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    sq = jnp.square(xf)
+    c = x.shape[-1]
+    # HIGHEST: keep fp32 accuracy (squares can be ~1e4; bf16 passes would
+    # cost ~0.3% output error).  The contraction is only C x C.
+    win = jnp.matmul(sq, _lrn_band(c, size),
+                     precision=jax.lax.Precision.HIGHEST)
+    s = k + (alpha / size) * win
+    if beta == 0.75:
+        inv = jax.lax.rsqrt(s) * jax.lax.rsqrt(jax.lax.sqrt(s))
+        return (xf * inv).astype(x.dtype)
+    return (xf / jnp.power(s, beta)).astype(x.dtype)
 
 
 def _ceil_pool_extra(in_size: int, kernel: int, stride: int, pad: int) -> Tuple[int, int]:
