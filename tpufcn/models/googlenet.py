@@ -26,10 +26,41 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpufcn.models.layers import (
-    conv_relu, max_pool_caffe, LRN, SpaceToDepthStemConv)
+    conv_relu, max_pool_caffe, LRN, SpaceToDepthStemConv, xavier_caffe)
+
+
+class _PointwiseInner(nn.Module):
+    """Param-only 1x1 conv (kernel+bias in nn.Conv layout, applied fused
+    by the parent)."""
+
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", xavier_caffe,
+                       (1, 1, cin, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), self.param_dtype)
+        return k[0, 0], b
+
+
+class PointwiseParams(nn.Module):
+    """Caffe-named wrapper so the param path matches CaffeConv
+    ("<name>/conv/{kernel,bias}")."""
+
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _PointwiseInner(self.features, self.param_dtype,
+                               name="conv")(cin)
 
 # Inception block widths: (1x1, 3x3_reduce, 3x3, 5x5_reduce, 5x5, pool_proj)
 INCEPTION_CFG = {
@@ -46,7 +77,15 @@ INCEPTION_CFG = {
 
 
 class Inception(nn.Module):
-    """One inception module; branch names match the Caffe blob names."""
+    """One inception module; branch names match the Caffe blob names.
+
+    TPU note: the three 1x1 convs reading the block input (1x1,
+    3x3_reduce, 5x5_reduce) are executed as ONE conv by concatenating
+    their kernels at apply time — mathematically identical, but a single
+    dense MXU matmul instead of three output-lane-starved ones.  The
+    parameter tree keeps the three separate Caffe-named convs so the
+    ``.caffemodel`` converter maps blobs 1:1.
+    """
 
     n1: int; n3r: int; n3: int; n5r: int; n5: int; npp: int
     dtype: Any = jnp.bfloat16
@@ -54,10 +93,24 @@ class Inception(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = dict(dtype=self.dtype)
-        b1 = conv_relu(x, self.n1, 1, name="1x1", **d)
-        b3 = conv_relu(x, self.n3r, 1, name="3x3_reduce", **d)
+        cin = x.shape[-1]
+        widths = (self.n1, self.n3r, self.n5r)
+        ks, bs = [], []
+        for n, name in zip(widths, ("1x1", "3x3_reduce", "5x5_reduce")):
+            k, b = PointwiseParams(n, name=name)(cin)
+            ks.append(k)
+            bs.append(b)
+        fused_k = jnp.concatenate(ks, axis=-1).astype(self.dtype)
+        fused_b = jnp.concatenate(bs).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), fused_k[None, None],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        y = nn.relu(y + fused_b)
+        b1, b3, b5 = jnp.split(y, np.cumsum(widths)[:-1].tolist(), axis=-1)
+
         b3 = conv_relu(b3, self.n3, 3, pad=1, name="3x3", **d)
-        b5 = conv_relu(x, self.n5r, 1, name="5x5_reduce", **d)
         b5 = conv_relu(b5, self.n5, 5, pad=2, name="5x5", **d)
         bp = max_pool_caffe(x, 3, 1, 1)
         bp = conv_relu(bp, self.npp, 1, name="pool_proj", **d)

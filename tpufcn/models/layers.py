@@ -118,6 +118,9 @@ class LRN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # XLA's fused banded-matmul formulation measures faster than the
+        # Pallas kernel (tpufcn/ops/pallas/lrn.py) at the GoogLeNet sites;
+        # keep the XLA path as default.
         return lrn_across_channels(x, self.size, self.alpha, self.beta)
 
 
