@@ -1,0 +1,85 @@
+"""Converter tests: protobuf wire round-trip, layout transforms (torch as
+the independent conv oracle), and a full GoogLeNet weight round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from tpufcn.convert import (
+    load_caffemodel, write_caffemodel, convert_caffemodel,
+    export_caffemodel, conv_blob_to_hwio)
+from tpufcn.models import build
+
+
+def test_pb_roundtrip(tmp_path, rng):
+    layers = {
+        "conv1": [rng.standard_normal((8, 3, 5, 5), dtype=np.float32),
+                  rng.standard_normal(8, dtype=np.float32)],
+        "fc/odd name": [rng.standard_normal((4, 8, 1, 1), dtype=np.float32)],
+    }
+    p = str(tmp_path / "w.caffemodel")
+    write_caffemodel(p, layers)
+    got = load_caffemodel(p)
+    assert set(got) == set(layers)
+    for k in layers:
+        assert len(got[k]) == len(layers[k])
+        for a, b in zip(got[k], layers[k]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_conv_layout_matches_torch(rng):
+    """A Caffe-layout blob converted to HWIO must make our NHWC conv agree
+    with torch's NCHW conv using the raw blob."""
+    blob = rng.standard_normal((6, 3, 3, 3), dtype=np.float32)
+    x = rng.standard_normal((1, 8, 8, 3), dtype=np.float32)
+    want = F.conv2d(torch.from_numpy(np.moveaxis(x, -1, 1).copy()),
+                    torch.from_numpy(blob), padding=1)
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(conv_blob_to_hwio(blob)),
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(got), np.moveaxis(want.numpy(), 1, -1), rtol=1e-4, atol=1e-5)
+
+
+def test_googlenet_full_roundtrip(tmp_path, rng):
+    """export -> load -> convert reproduces every conv param exactly and
+    the model forward gives identical outputs."""
+    model = build("googlenet_detectnet", dtype=jnp.float32)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32) * 255)
+    params = model.init(jax.random.key(0), x)
+
+    p = str(tmp_path / "gnet.caffemodel")
+    export_caffemodel(params, p)
+    # fresh init with a different seed, then load the exported weights
+    params2 = model.init(jax.random.key(1), x)
+    restored = convert_caffemodel(params2, p)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(restored["params"]))
+    # same leaf set, same values
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[tuple(path)]),
+                                      err_msg=str(path))
+
+    out_a = model.apply(params, x)
+    out_b = model.apply(restored, x)
+    np.testing.assert_array_equal(np.asarray(out_a["coverage"]),
+                                  np.asarray(out_b["coverage"]))
+
+
+def test_convert_rejects_shape_mismatch(tmp_path, rng):
+    model = build("googlenet_detectnet", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    bad = {"cvg/classifier": [rng.standard_normal((7, 1024, 1, 1),
+                                                  dtype=np.float32)]}
+    p = str(tmp_path / "bad.caffemodel")
+    write_caffemodel(p, bad)
+    import pytest
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_caffemodel(params, p)
