@@ -1,0 +1,192 @@
+"""Data layer tests: manifests, VOC, compositor, records, pipeline."""
+
+import os
+
+import numpy as np
+import cv2 as cv
+import pytest
+
+from tpufcn.core.config import DataConfig, GridConfig
+from tpufcn.data import (
+    Compositor, CompositeTrainPipeline, RecordReader, RecordWriter,
+    create_detection_records, read_detection_manifest, read_mask_manifest,
+    read_voc_manifest, write_voc_manifest, read_label_names,
+    write_label_names, photometric, flip_image_with_rects,
+    resize_image_and_rects, PascalVOC, prefetch, DetectionSample)
+from tpufcn.data.manifest import MaskSample
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    """Synthetic object dataset: colored rectangles on noise + masks."""
+    samples = []
+    for i in range(4):
+        img = rng.integers(0, 80, size=(120, 160, 3)).astype(np.uint8)
+        mask = np.zeros((120, 160), np.uint8)
+        x, y, w, h = 30 + i * 5, 20, 50, 60
+        img[y:y + h, x:x + w] = (50 + 50 * i, 200 - 30 * i, 100)
+        mask[y:y + h, x:x + w] = 255
+        ip = str(tmp_path / f"img{i}.png")
+        mp = str(tmp_path / f"msk{i}.png")
+        cv.imwrite(ip, img)
+        cv.imwrite(mp, mask)
+        samples.append(MaskSample(ip, mp, i % 2, np.array([x, y, w, h])))
+    return samples
+
+
+def test_detection_manifest_roundtrip(tmp_path):
+    p = str(tmp_path / "train.txt")
+    with open(p, "w") as f:
+        f.write("/a/b.jpg 10 20 30 40 1\n")
+        f.write("/c/d.jpg 1 2 3 4 2\n")
+    s = read_detection_manifest(p)
+    assert s[0].image_path == "/a/b.jpg"
+    np.testing.assert_array_equal(s[0].rects[0], [10, 20, 30, 40])
+    assert s[0].labels[0] == 0 and s[1].labels[0] == 1  # 1-based -> 0-based
+
+
+def test_mask_manifest_stride_and_remap(tmp_path):
+    p = str(tmp_path / "train.txt")
+    with open(p, "w") as f:
+        # stride-2: odd lines ignored (reference reader behaviour)
+        f.write("/i0.jpg /m0.jpg 7 1 2 3 4\n")
+        f.write("ignored line\n")
+        f.write("/i1.jpg /m1.jpg 9 5 6 7 8\n")
+        f.write("ignored line\n")
+    s = read_mask_manifest(p)
+    assert len(s) == 2
+    assert [x.label for x in s] == [0, 1]  # 7,9 -> contiguous
+    s2 = read_mask_manifest(p, background_offset=1)
+    assert [x.label for x in s2] == [1, 2]
+
+
+def test_voc_manifest_roundtrip(tmp_path):
+    samples = [DetectionSample("/img.jpg",
+                               np.array([[1, 2, 3, 4], [5, 6, 7, 8]]),
+                               np.array([0, 5]))]
+    p = str(tmp_path / "voc.txt")
+    write_voc_manifest(p, samples)
+    back = read_voc_manifest(p)
+    np.testing.assert_array_equal(back[0].rects, samples[0].rects)
+    np.testing.assert_array_equal(back[0].labels, samples[0].labels)
+
+
+def test_label_names_both_formats(tmp_path):
+    p2 = str(tmp_path / "two.txt")
+    write_label_names(p2, ["cat", "dog"])
+    assert read_label_names(p2) == ["cat", "dog"]
+    p3 = str(tmp_path / "three.txt")
+    with open(p3, "w") as f:
+        f.write("0 _ cat\n1 _ dog\n")
+    assert read_label_names(p3) == ["cat", "dog"]
+
+
+def test_voc_xml_converter(tmp_path):
+    voc = tmp_path / "VOC"
+    (voc / "Annotations").mkdir(parents=True)
+    (voc / "JPEGImages").mkdir()
+    (voc / "ImageSets" / "Main").mkdir(parents=True)
+    (voc / "Annotations" / "000001.xml").write_text("""
+<annotation><filename>000001.jpg</filename>
+ <object><name>dog</name>
+  <bndbox><xmin>48</xmin><ymin>240</ymin><xmax>195</xmax><ymax>371</ymax></bndbox>
+ </object>
+ <object><name>person</name>
+  <bndbox><xmin>8</xmin><ymin>12</ymin><xmax>352</xmax><ymax>498</ymax></bndbox>
+ </object>
+</annotation>""")
+    (voc / "ImageSets" / "Main" / "train.txt").write_text("000001\n")
+    (voc / "ImageSets" / "Main" / "val.txt").write_text("")
+    pv = PascalVOC(str(voc))
+    pv.create(str(tmp_path / "out"))
+    s = read_voc_manifest(str(tmp_path / "out" / "train.txt"))
+    assert len(s) == 1
+    np.testing.assert_array_equal(s[0].rects[0], [48, 240, 147, 131])
+    assert s[0].labels[0] == PascalVOC(str(voc)).classes.index("dog")
+    names = read_label_names(str(tmp_path / "out" / "class_label_names.txt"))
+    assert names[11] == "dog"
+
+
+def test_flip_rect_semantics(rng):
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    rect = [10, 5, 20, 12]
+    for code in (-1, 0, 1):
+        im2, rects = flip_image_with_rects(img, [rect], code)
+        x, y, w, h = rects[0]
+        assert im2.shape == img.shape
+        assert w == rect[2] and h == rect[3]
+        assert 0 <= x and x + w <= 60 and 0 <= y and y + h <= 40
+
+
+def test_compositor_places_nonoverlapping(tiny_dataset, rng):
+    comp = Compositor(tiny_dataset)
+    bg = np.zeros((240, 320, 3), np.uint8)
+    scene = comp.compose(3, bg, rng)
+    assert scene.image.shape == (240, 320, 3)
+    assert scene.mask.shape == (240, 320)
+    assert len(scene.rects) == len(scene.labels)
+    # pasted pixels exist where the mask says (label+1)
+    for r, l in zip(scene.rects, scene.labels):
+        x, y, w, h = r
+        sub = scene.mask[y:y + h, x:x + w]
+        assert (sub == l + 1).any()
+    # pairwise scaled-IoU below the reference threshold
+    from tpufcn.data.compositor import _scaled_iou
+    for i in range(len(scene.rects)):
+        for j in range(i + 1, len(scene.rects)):
+            assert _scaled_iou(scene.rects[i], scene.rects[j]) <= 0.05 + 1e-6
+
+
+def test_photometric_shape_dtype(rng):
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    out = photometric(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_resize_rects_reference_rounding():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, rects = resize_image_and_rects(img, [[20, 10, 60, 40]], (100, 50))
+    assert out.shape == (50, 100, 3)
+    assert rects[0] == [10, 5, 30, 20]
+
+
+def test_records_roundtrip(tmp_path, rng):
+    prefix = str(tmp_path / "ds" / "train")
+    with RecordWriter(prefix, records_per_shard=3) as w:
+        for i in range(8):
+            w.write({"a": np.arange(i + 1, dtype=np.int64),
+                     "b": rng.random((2, 3)).astype(np.float32)})
+    r = RecordReader(prefix)
+    assert len(r) == 8
+    rec5 = r.read(5)
+    np.testing.assert_array_equal(rec5["a"], np.arange(6))
+    assert len(list(iter(r))) == 8
+
+
+def test_detection_records_with_jpeg(tmp_path, tiny_dataset):
+    samples = [DetectionSample(s.image_path, s.rect[None, :],
+                               np.array([s.label]))
+               for s in tiny_dataset]
+    prefix = str(tmp_path / "rec" / "det")
+    n = create_detection_records(samples, prefix)
+    assert n == 4
+    r = RecordReader(prefix)
+    rec = r.read(0)
+    assert rec["image"].shape == (120, 160, 3)
+    assert rec["rects"].shape == (1, 4)
+
+
+def test_composite_pipeline_batch(tiny_dataset, rng):
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    pipe = CompositeTrainPipeline(
+        tiny_dataset, grid, DataConfig(batch_size=2), box_capacity=4)
+    b = pipe.batch(2)
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["rects"].shape == (2, 4, 4)
+    assert b["seg"].shape == (2, 64, 64)
+    assert b["valid"].dtype == bool
+
+
+def test_prefetch_wraps_iterator():
+    out = list(prefetch(iter(range(5)), depth=2))
+    assert out == [0, 1, 2, 3, 4]

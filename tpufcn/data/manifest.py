@@ -1,0 +1,140 @@
+"""Dataset manifest readers/writers — each format exactly once.
+
+The reference parses ``train.txt`` manifests in ~4 places with 3 formats
+(SURVEY.md duplicated-logic note).  Formats:
+
+* detection: ``path x y w h label`` per line, 1-based labels
+  (reference scripts/data_argumentation_layer/data_argumentation_layer.py:139-153,
+  README.md:45-49);
+* mask: ``img_path mask_path label x y w h`` on every *other* line
+  (the reference reader strides by 2 — data_argumentation_layer.py:166),
+  labels remapped to contiguous ids via unique-inverse (:178-179), +1 when
+  background is class 0 (:358-359);
+* voc: ``img_path,x y w h label,x y w h label,...``
+  (reference scripts/voc/create_train_val.py:47-66);
+* label names: ``idx name`` (written, create_train_val.py:41-44) or
+  ``idx _ name`` (read, fcn_object_detector.py:458) — both accepted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DetectionSample:
+    image_path: str
+    rects: np.ndarray        # (M, 4) int (x, y, w, h)
+    labels: np.ndarray       # (M,) int
+
+
+@dataclasses.dataclass
+class MaskSample:
+    image_path: str
+    mask_path: str
+    label: int
+    rect: np.ndarray         # (4,) int
+
+
+def read_detection_manifest(path: str,
+                            one_based_labels: bool = True) -> List[DetectionSample]:
+    out = []
+    for line in _lines(path):
+        vals = line.split()
+        rect = np.array([int(float(v)) for v in vals[1:5]], np.int32)
+        label = int(vals[5]) - (1 if one_based_labels else 0)
+        out.append(DetectionSample(vals[0], rect[None, :],
+                                   np.array([label], np.int32)))
+    return out
+
+
+def read_mask_manifest(path: str,
+                       line_stride: int = 2,
+                       background_offset: int = 0,
+                       snapshot_label_manifest: Optional[str] = None,
+                       ) -> List[MaskSample]:
+    """The compositor dataset: image+mask+label+rect records.
+
+    ``line_stride=2`` mirrors the reference reader; ``background_offset=1``
+    reproduces the FCN variant's shift so 0 stays background.
+    """
+    lines = _lines(path)
+    raw = []
+    for i in range(0, len(lines), line_stride):
+        v = lines[i].split()
+        rect = np.array([int(float(x)) for x in v[3:7]], np.int32)
+        raw.append((v[0], v[1], int(v[2]), rect))
+
+    labels = np.array([r[2] for r in raw])
+    uniq, inv = np.unique(labels, return_inverse=True)
+    inv = inv + background_offset
+
+    if snapshot_label_manifest:
+        # reference writes a per-run label manifest snapshot
+        # (data_argumentation_layer.py:182-188)
+        os.makedirs(os.path.dirname(snapshot_label_manifest) or ".",
+                    exist_ok=True)
+        with open(snapshot_label_manifest, "w") as f:
+            for new_id, old in zip(
+                    np.unique(inv), uniq):
+                f.write(f"{int(new_id)} {int(old)}\n")
+
+    return [MaskSample(p, m, int(l), r)
+            for (p, m, _, r), l in zip(raw, inv)]
+
+
+def snapshot_label_path(directory: str = "snapshots/labels") -> str:
+    return os.path.join(
+        directory, "labels_" + time.strftime("%Y%m%d%H%M%S") + ".txt")
+
+
+def read_voc_manifest(path: str) -> List[DetectionSample]:
+    out = []
+    for line in _lines(path):
+        parts = line.split(",")
+        rects, labels = [], []
+        for grp in parts[1:]:
+            v = grp.split()
+            if len(v) != 5:
+                continue
+            rects.append([int(float(x)) for x in v[:4]])
+            labels.append(int(v[4]))
+        if rects:
+            out.append(DetectionSample(
+                parts[0], np.asarray(rects, np.int32),
+                np.asarray(labels, np.int32)))
+    return out
+
+
+def write_voc_manifest(path: str, samples: Sequence[DetectionSample]) -> None:
+    with open(path, "w") as f:
+        for s in samples:
+            groups = ",".join(
+                f"{int(r[0])} {int(r[1])} {int(r[2])} {int(r[3])} {int(l)}"
+                for r, l in zip(s.rects, s.labels))
+            f.write(f"{s.image_path},{groups}\n")
+
+
+def write_label_names(path: str, names: Sequence[str]) -> None:
+    with open(path, "w") as f:
+        for i, n in enumerate(names):
+            f.write(f"{i} {n}\n")
+
+
+def read_label_names(path: str) -> List[str]:
+    """Accepts both ``idx name`` and ``idx _ name`` line shapes."""
+    out = []
+    for line in _lines(path):
+        v = line.split()
+        out.append(v[-1])
+    return out
+
+
+def _lines(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.rstrip("\n") for ln in f if ln.strip()]

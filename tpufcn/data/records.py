@@ -1,0 +1,207 @@
+"""Sharded binary record storage — the LMDB replacement (SURVEY.md C8).
+
+The reference serializes (demeaned image, label) pairs into two LMDBs via
+Caffe datums (reference scripts/misc/create_training_lmdb.py:125-185).
+The capability kept is "serialize (image, grid-label inputs) once, stream
+them fast at train time"; the TPU-idiomatic form here is append-only
+sharded record files with an offset index for shuffled random access:
+
+  shard:  magic "TFCR" + records, each  u64 payload_len | payload
+  index:  magic "TFCI" + u64 offsets
+  payload: u32 n_items, then per item
+           u16 key_len | key utf8 | u16 dtype_len | dtype str |
+           u8 ndim | ndim * u64 dims | raw little-endian data
+
+No pickle — records are plain tagged numpy buffers (safe to mmap/stream).
+Images are stored JPEG-encoded (key suffix "/jpeg") to keep shards small,
+mirroring the reference's image datums.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import cv2 as cv
+import numpy as np
+
+_SHARD_MAGIC = b"TFCR"
+_INDEX_MAGIC = b"TFCI"
+
+
+def _pack(record: Dict[str, np.ndarray]) -> bytes:
+    out = [struct.pack("<I", len(record))]
+    for key, arr in record.items():
+        arr = np.ascontiguousarray(arr)
+        kb = key.encode()
+        db = str(arr.dtype.str).encode()
+        out.append(struct.pack("<H", len(kb)) + kb)
+        out.append(struct.pack("<H", len(db)) + db)
+        out.append(struct.pack("<B", arr.ndim))
+        out.append(struct.pack(f"<{arr.ndim}Q", *arr.shape) if arr.ndim else b"")
+        out.append(arr.tobytes())
+    return b"".join(out)
+
+
+def _unpack(buf: bytes) -> Dict[str, np.ndarray]:
+    pos = 0
+    (n,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    out = {}
+    for _ in range(n):
+        (kl,) = struct.unpack_from("<H", buf, pos); pos += 2
+        key = buf[pos:pos + kl].decode(); pos += kl
+        (dl,) = struct.unpack_from("<H", buf, pos); pos += 2
+        dtype = np.dtype(buf[pos:pos + dl].decode()); pos += dl
+        (nd,) = struct.unpack_from("<B", buf, pos); pos += 1
+        shape = struct.unpack_from(f"<{nd}Q", buf, pos) if nd else ()
+        pos += 8 * nd
+        count = int(np.prod(shape)) if nd else 1
+        nbytes = count * dtype.itemsize
+        out[key] = np.frombuffer(buf[pos:pos + nbytes],
+                                 dtype=dtype).reshape(shape)
+        pos += nbytes
+    return out
+
+
+class RecordWriter:
+    """Append records to sharded files ``<prefix>-NNNNN.rec`` (+ .idx)."""
+
+    def __init__(self, prefix: str, records_per_shard: int = 4096):
+        self.prefix = prefix
+        self.records_per_shard = records_per_shard
+        self._shard_no = -1
+        self._file = None
+        self._offsets: List[int] = []
+        self._count = 0
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+
+    def _roll(self):
+        self._close_shard()
+        self._shard_no += 1
+        self._file = open(f"{self.prefix}-{self._shard_no:05d}.rec", "wb")
+        self._file.write(_SHARD_MAGIC)
+        self._offsets = []
+        self._count = 0
+
+    def write(self, record: Dict[str, np.ndarray]) -> None:
+        if self._file is None or self._count >= self.records_per_shard:
+            self._roll()
+        payload = _pack(record)
+        self._offsets.append(self._file.tell())
+        self._file.write(struct.pack("<Q", len(payload)))
+        self._file.write(payload)
+        self._count += 1
+
+    def write_image_record(self, image_bgr: np.ndarray,
+                           extra: Dict[str, np.ndarray]) -> None:
+        ok, enc = cv.imencode(".jpg", image_bgr,
+                              [cv.IMWRITE_JPEG_QUALITY, 95])
+        if not ok:
+            raise ValueError("jpeg encode failed")
+        rec = {"image/jpeg": np.frombuffer(enc.tobytes(), np.uint8)}
+        rec.update(extra)
+        self.write(rec)
+
+    def _close_shard(self):
+        if self._file is not None:
+            path = self._file.name
+            self._file.close()
+            with open(os.path.splitext(path)[0] + ".idx", "wb") as f:
+                f.write(_INDEX_MAGIC)
+                f.write(struct.pack(f"<{len(self._offsets)}Q", *self._offsets))
+            self._file = None
+
+    def close(self):
+        self._close_shard()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RecordReader:
+    """Random access + iteration over a set of shards."""
+
+    def __init__(self, prefix: str):
+        self.shards = sorted(
+            f for f in _glob_prefix(prefix) if f.endswith(".rec"))
+        if not self.shards:
+            raise FileNotFoundError(f"no shards for prefix {prefix}")
+        self._offsets = []
+        for s in self.shards:
+            with open(os.path.splitext(s)[0] + ".idx", "rb") as f:
+                raw = f.read()
+            assert raw[:4] == _INDEX_MAGIC
+            offs = np.frombuffer(raw[4:], "<u8")
+            self._offsets.append(offs)
+        self._cum = np.cumsum([0] + [len(o) for o in self._offsets])
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def read(self, index: int) -> Dict[str, np.ndarray]:
+        shard = int(np.searchsorted(self._cum, index, side="right") - 1)
+        local = index - self._cum[shard]
+        with open(self.shards[shard], "rb") as f:
+            f.seek(int(self._offsets[shard][local]))
+            (ln,) = struct.unpack("<Q", f.read(8))
+            rec = _unpack(f.read(ln))
+        return self._decode(rec)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for i in range(len(self)):
+            yield self.read(i)
+
+    @staticmethod
+    def _decode(rec: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, v in rec.items():
+            if k.endswith("/jpeg"):
+                out[k[:-5]] = cv.imdecode(v, cv.IMREAD_COLOR)
+            else:
+                out[k] = v
+        return out
+
+
+def _glob_prefix(prefix: str) -> List[str]:
+    d = os.path.dirname(prefix) or "."
+    base = os.path.basename(prefix)
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.startswith(base + "-")]
+
+
+def create_detection_records(manifest_samples, out_prefix: str,
+                             imread=cv.imread,
+                             shuffle_seed: Optional[int] = 0) -> int:
+    """Offline dataset build (replaces CreateTrainingLMDB, reference
+    scripts/misc/create_training_lmdb.py): raw box+label records, image
+    stored as JPEG.  Returns number of records written."""
+    samples = list(manifest_samples)
+    if shuffle_seed is not None:
+        np.random.default_rng(shuffle_seed).shuffle(samples)
+    n = 0
+    with RecordWriter(out_prefix) as w:
+        for s in samples:
+            img = imread(s.image_path)
+            if img is None:
+                continue
+            w.write_image_record(img, {
+                "rects": np.asarray(s.rects, np.int32),
+                "labels": np.asarray(s.labels, np.int32),
+            })
+            n += 1
+    return n
+
+
+def read_records(prefix: str, limit: int = 10):
+    """Round-trip inspector (parallels reference ``read_lmdb``,
+    create_training_lmdb.py:492-509)."""
+    r = RecordReader(prefix)
+    out = []
+    for i in range(min(limit, len(r))):
+        out.append(r.read(i))
+    return out
