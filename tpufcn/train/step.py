@@ -79,11 +79,15 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
 def make_train_step(model,
                     cfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
-                    with_seg: bool = False) -> Callable:
+                    with_seg: bool = False,
+                    preprocessing: str = "demean") -> Callable:
     """Build the jitted step: (state, batch) -> (state, metrics).
 
     batch dict:
-      image: (B, H, W, 3) float (preprocessed) — sharded (data, space)
+      image: (B, H, W, 3) uint8/float raw BGR — sharded (data, space);
+        preprocessing ("demean" for the VGG/FCN families, "shift127" for
+        GoogLeNet — handled inside the model, "none" for pre-processed
+        inputs) runs ON DEVICE as part of the step.
       rects: (B, M, 4) float GT boxes
       labels: (B, M) int32 class ids
       valid: (B, M) bool
@@ -92,7 +96,13 @@ def make_train_step(model,
     grid = cfg.grid
 
     def loss_fn(params, batch, dropout_rng):
-        out = model.apply(params, batch["image"], train=True,
+        img = batch["image"]
+        if preprocessing == "demean":
+            from tpufcn.ops.image import demean_bgr
+            img = demean_bgr(img)
+        else:
+            img = jnp.asarray(img, jnp.float32)
+        out = model.apply(params, img, train=True,
                           rngs={"dropout": dropout_rng})
         glabels = encode_grid_labels_batch(
             batch["rects"], batch["labels"], batch["valid"], grid)

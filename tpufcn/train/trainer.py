@@ -1,0 +1,157 @@
+"""Training driver: solver loop + checkpointing + metrics.
+
+Replaces the reference's ``caffe train`` CLI + solver snapshotting
+(reference train/train.sh:26, train/*/solver.prototxt snapshot every
+5k/10k iters to ``snapshots/``) with a Python loop around the jitted
+step: orbax checkpoints (params + optimizer state + step), periodic and
+final snapshots, preemption-tolerant resume from the latest checkpoint,
+and structured per-step metrics with the solver's smoothed-loss display
+cadence (``display: 20, average_loss: 20``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpufcn.core.config import TrainConfig
+from tpufcn.core.mesh import make_mesh
+from tpufcn.models import build as build_model
+from tpufcn.train.step import (
+    TrainState, batch_sharding, init_state, make_train_step)
+
+
+class MetricLogger:
+    """Smoothed-loss console metrics (reference solver display semantics)
+    plus throughput/step-time meters."""
+
+    def __init__(self, log_every: int = 20, avg_window: int = 20,
+                 sink: Callable[[str], None] = print):
+        self.log_every = log_every
+        self.window: list = []
+        self.avg_window = avg_window
+        self.sink = sink
+        self._t0 = time.perf_counter()
+        self._imgs = 0
+        self.history: list = []
+
+    def update(self, step: int, metrics: Dict[str, jax.Array],
+               batch_size: int):
+        self._imgs += batch_size
+        if step % self.log_every:
+            return
+        vals = {k: float(v) for k, v in metrics.items()}
+        self.window.append(vals["loss_total"])
+        self.window = self.window[-self.avg_window:]
+        dt = time.perf_counter() - self._t0
+        ips = self._imgs / dt if dt > 0 else 0.0
+        line = (f"iter {step}: loss={np.mean(self.window):.6f} "
+                + " ".join(f"{k}={v:.5f}" for k, v in vals.items()
+                           if k != "loss_total")
+                + f" ({ips:.1f} img/s, {dt / max(step, 1) * 1000:.1f} ms/it)")
+        self.history.append({"step": step, **vals, "img_per_sec": ips})
+        self.sink(line)
+
+
+class Trainer:
+    """End-to-end training over a host batch iterator."""
+
+    def __init__(self, cfg: TrainConfig,
+                 model=None,
+                 mesh=None,
+                 with_seg: bool = False,
+                 log_sink: Callable[[str], None] = print):
+        self.cfg = cfg
+        self.model = model or build_model(cfg.model)
+        self.with_seg = with_seg
+        if mesh is None and cfg.mesh.num_devices > 1:
+            mesh = make_mesh(cfg.mesh)
+        self.mesh = mesh
+        try:
+            from tpufcn.models.registry import get_spec
+            preprocessing = get_spec(cfg.model).preprocessing
+        except KeyError:
+            preprocessing = "demean"
+        self.step_fn = make_train_step(self.model, cfg, mesh=mesh,
+                                       with_seg=with_seg,
+                                       preprocessing=preprocessing)
+        self._shardings = batch_sharding(mesh) if mesh is not None else None
+        self.logger = MetricLogger(cfg.log_every, sink=log_sink)
+        self.ckpt_dir = os.path.abspath(cfg.snapshot_dir)
+        self._mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=5, create=True))
+
+    # --- checkpointing (reference: solver snapshot .caffemodel/.solverstate)
+    def save(self, state: TrainState):
+        self._mgr.save(int(state.step),
+                       args=ocp.args.StandardSave(_to_save(state)))
+        self._mgr.wait_until_finished()
+
+    def restore_latest(self, state: TrainState) -> TrainState:
+        latest = self._mgr.latest_step()
+        if latest is None:
+            return state
+        restored = self._mgr.restore(
+            latest, args=ocp.args.StandardRestore(_to_save(state)))
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            dropout_rng=state.dropout_rng)
+
+    def init_state(self) -> TrainState:
+        g = self.cfg.grid
+        return init_state(self.model, self.cfg,
+                          (1, g.im_height, g.im_width, 3),
+                          rng_seed=self.cfg.seed)
+
+    def put(self, batch: Dict[str, np.ndarray]):
+        """Host batch -> device arrays (sharded when on a mesh); images are
+        demeaned on device by the step's preprocessing, so uint8 transfers
+        stay small."""
+        out = {}
+        for k, v in batch.items():
+            if k == "seg" and not self.with_seg:
+                continue
+            arr = jnp.asarray(v)
+            if self._shardings is not None:
+                arr = jax.device_put(arr, self._shardings[k])
+            out[k] = arr
+        return out
+
+    def fit(self, batches: Iterator[Dict[str, np.ndarray]],
+            max_iter: Optional[int] = None,
+            state: Optional[TrainState] = None,
+            resume: bool = True) -> TrainState:
+        cfg = self.cfg
+        max_iter = max_iter or cfg.max_iter
+        state = state or self.init_state()
+        if resume:
+            state = self.restore_latest(state)
+        start = int(state.step)
+
+        for batch in batches:
+            if int(state.step) >= max_iter:
+                break
+            b = self.put(batch)
+            bs = batch["image"].shape[0]
+            state, metrics = self.step_fn(state, b)
+            self.logger.update(int(state.step), metrics, bs)
+            if cfg.snapshot_every and int(state.step) % cfg.snapshot_every == 0:
+                self.save(state)
+        if int(state.step) > start:
+            self.save(state)
+        return state
+
+
+def _to_save(state: TrainState):
+    return {"step": int(state.step), "params": state.params,
+            "opt_state": state.opt_state}
