@@ -1,0 +1,92 @@
+"""Topic bus, synchronizers, and stream node tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpufcn.serve.bus import (
+    ApproximateTimeSynchronizer, TimeSynchronizer, TopicBus)
+from tpufcn.serve.detector import Detector
+from tpufcn.serve.stream import (
+    DetectorNode, TiledSegmenter, detection_window_rois, replay)
+
+
+def test_bus_queue_drops_oldest():
+    bus = TopicBus()
+    got = []
+    bus.subscribe("t", lambda m: got.append(m.data), queue_size=1)
+    bus.publish("t", 1)
+    bus.publish("t", 2)
+    bus.publish("t", 3)
+    bus.spin_once()
+    assert got == [3]  # queue_size=1: stale frames dropped (reference behaviour)
+
+
+def test_exact_time_sync():
+    bus = TopicBus()
+    fired = []
+    TimeSynchronizer(bus, ["a", "b"], lambda ma, mb: fired.append(
+        (ma.data, mb.data)), queue_size=10)
+    bus.publish("a", "a1", stamp=1.0)
+    bus.publish("b", "b2", stamp=2.0)     # no match
+    bus.publish("b", "b1", stamp=1.0)     # matches a1
+    bus.spin_once()
+    assert fired == [("a1", "b1")]
+
+
+def test_approx_time_sync_four_way():
+    bus = TopicBus()
+    fired = []
+    ApproximateTimeSynchronizer(
+        bus, ["c", "m", "p", "coef"],
+        lambda *ms: fired.append(tuple(m.data for m in ms)),
+        queue_size=100, slop=0.05)
+    # stamps within slop
+    bus.publish("c", "cloud", stamp=1.00)
+    bus.publish("m", "mask", stamp=1.01)
+    bus.publish("p", "pmap", stamp=1.02)
+    bus.publish("coef", "coef", stamp=1.03)
+    bus.spin_once()
+    assert fired == [("cloud", "mask", "pmap", "coef")]
+    # far-apart stamps never fire
+    bus.publish("c", "c2", stamp=2.0)
+    bus.publish("m", "m2", stamp=3.0)
+    bus.publish("p", "p2", stamp=4.0)
+    bus.publish("coef", "x2", stamp=5.0)
+    bus.spin_once()
+    assert len(fired) == 1
+
+
+def test_detection_window_rois():
+    img = np.zeros((480, 640, 3), np.uint8)
+    rois = detection_window_rois(img, stride=2)
+    assert len(rois) == 5                  # 4 tiles + center crop
+    np.testing.assert_array_equal(rois[0], [0, 0, 320, 240])
+    np.testing.assert_array_equal(rois[3], [320, 240, 320, 240])
+    cx, cy = 640 // 2 - 160, 480 // 2 - 120
+    np.testing.assert_array_equal(rois[4], [cx, cy, 320, 240])
+
+
+def test_detector_node_replay(rng):
+    bus = TopicBus()
+    det = Detector("googlenet_detectnet_1cls", dtype=jnp.float32,
+                   max_candidates=32)
+    node = DetectorNode(bus, detector=det)
+    frames = [rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
+              for _ in range(3)]
+    outs = []
+    bus.subscribe("/fcn_object_detector/rects", lambda m: outs.append(m.data),
+                  queue_size=10)
+    n = replay(node, frames)
+    bus.spin_once()
+    assert n == 3
+    assert len(outs) == 3      # rects published per frame (possibly empty)
+
+
+def test_tiled_segmenter(rng):
+    seg = TiledSegmenter("fcn32s_seg", dtype=jnp.float32, stride=1)
+    frame = rng.integers(0, 256, (256, 320, 3)).astype(np.uint8)
+    pmap, boxes = seg(frame)
+    assert pmap.shape == (256, 320)
+    assert pmap.dtype == np.uint8
+    for (x, y, w, h), cls in boxes:
+        assert 1 <= cls < 12

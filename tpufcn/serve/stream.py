@@ -1,0 +1,197 @@
+"""Stream nodes: the reference's ROS nodes on the tpufcn topic bus.
+
+``DetectorNode`` mirrors ``FCNObjectDetector`` (reference
+scripts/fcn_object_detector.py): subscribes ``image`` (queue 1,
+drop-oldest), runs the single-dispatch TPU pipeline, publishes corner
+rects on ``/fcn_object_detector/rects`` and a mono8 probability map on
+``/fcn_object_detector/pmap`` — the same topic contract as the launch
+file (reference launch/fcn_object_detector.launch:2-23).
+
+Two inference modes, as the reference's two callbacks:
+  * "boxes"  — run_detector (:54-174): full-frame grid decode + NMS;
+  * "tiled"  — run_detector2 (:178-303): stride^2 sub-window tiles + a
+    center crop, batch-forwarded, per-class score maps stitched into a
+    full-frame pmap with bitwise-OR, boxes from the largest contour of
+    each tile map (host OpenCV, as the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import cv2 as cv
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufcn.core.config import DetectorConfig
+from tpufcn.serve.bus import Message, TopicBus
+from tpufcn.serve.detector import DetectionResult, Detector
+
+
+@dataclasses.dataclass
+class RectsMsg:
+    """Polygon-of-corners message (the reference publishes PolygonStamped
+    with alternating top-left/bottom-right points, fcn_object_detector.py:154-166)."""
+    points: List[Tuple[float, float]]
+    labels: List[int]
+    confidences: List[float]
+
+
+def detection_window_rois(image: np.ndarray, stride: int = 1):
+    """Reference ``detection_window_roi`` (:254-277): stride^2 tiles plus
+    a centre crop; returns (rois as (x, y, w, h) int arrays)."""
+    im_y, im_x = image.shape[:2]
+    w, h = im_x // stride, im_y // stride
+    rects = [np.array([i * w, j * h, w, h])
+             for j in range(stride) for i in range(stride)]
+    cx, cy = im_x // 2 - w // 2, im_y // 2 - h // 2
+    rects.append(np.array([cx, cy, w, h]))
+    return rects
+
+
+def create_mask_labels(feat_u8: np.ndarray) -> Optional[Tuple[int, int, int, int]]:
+    """Largest-contour bounding rect (reference :279-303)."""
+    im = (feat_u8 > 0).astype(np.uint8) * 255
+    contours, _ = cv.findContours(im, cv.RETR_CCOMP,
+                                  cv.CHAIN_APPROX_SIMPLE)[-2:]
+    if not contours:
+        return None
+    biggest = max(contours, key=cv.contourArea)
+    return cv.boundingRect(biggest)
+
+
+class TiledSegmenter:
+    """run_detector2-equivalent over a segmentation model family."""
+
+    def __init__(self, model_name: str = "fcn32s_seg",
+                 params: Optional[Any] = None,
+                 prob_thresh: float = 0.5,
+                 stride: int = 1,
+                 padding: int = 10,
+                 dtype=jnp.bfloat16):
+        from tpufcn.models import build, get_spec
+        self.spec = get_spec(model_name)
+        self.model = build(model_name, dtype=dtype)
+        self.grid = self.spec.grid
+        self.prob_thresh = prob_thresh
+        self.stride = stride
+        self.padding = padding
+        if params is None:
+            x0 = jnp.zeros((1, self.grid.im_height, self.grid.im_width, 3),
+                           jnp.float32)
+            params = jax.jit(self.model.init)(jax.random.key(0), x0)
+        self.params = params
+        self._fwd = jax.jit(self._fwd_impl)
+
+    def _fwd_impl(self, params, tiles):
+        from tpufcn.ops.image import demean_bgr
+        x = jax.image.resize(
+            tiles.astype(jnp.float32),
+            (tiles.shape[0], self.grid.im_height, self.grid.im_width, 3),
+            method="linear")
+        out = self.model.apply(params, x)
+        score = out.get("score", out.get("coverage"))
+        score = jnp.where(score < self.prob_thresh, 0.0, score)
+        return score                      # (T, gh, gw, C)
+
+    def __call__(self, frame_bgr: np.ndarray):
+        """Returns (pmap uint8 full-frame, [(rect, class)] boxes)."""
+        img = _demean_host(frame_bgr)
+        rois = detection_window_rois(img, self.stride)
+        tiles = np.stack([
+            cv.resize(img[y:y + h, x:x + w],
+                      (self.grid.im_width, self.grid.im_height))
+            for x, y, w, h in rois])
+        score = np.asarray(self._fwd(self.params, jnp.asarray(tiles)))
+
+        pmap = np.zeros(frame_bgr.shape[:2], np.uint8)
+        boxes = []
+        pad = self.padding
+        for smap, rect in zip(score, rois):
+            x, y, w, h = [int(v) for v in rect]
+            for cls in range(1, smap.shape[-1]):
+                feat = (smap[..., cls] * 255).astype(np.uint8)
+                feat = cv.resize(feat, (w, h))
+                pmap[y:y + h, x:x + w] |= feat
+                r = create_mask_labels(feat)
+                if r is not None:
+                    bx = [r[0] + x - pad, r[1] + y - pad,
+                          r[2] + 2 * pad, r[3] + 2 * pad]
+                    boxes.append((bx, cls))
+        return pmap, boxes
+
+
+def _demean_host(img: np.ndarray) -> np.ndarray:
+    """Host copy of the demean+minmax preprocessing for the tiled path
+    (the tiles are cropped before resize, matching reference order)."""
+    x = img.astype(np.float32)
+    x[:, :, 0] -= np.float32(104.0069879317889)
+    x[:, :, 1] -= np.float32(116.66876761696767)
+    x[:, :, 2] -= np.float32(122.6789143406786)
+    return (x - x.min()) / (x.max() - x.min())
+
+
+class DetectorNode:
+    """The detector stream node on a TopicBus."""
+
+    def __init__(self,
+                 bus: TopicBus,
+                 detector: Optional[Detector] = None,
+                 mode: str = "boxes",
+                 image_topic: str = "image",
+                 rects_topic: str = "/fcn_object_detector/rects",
+                 pmap_topic: str = "/fcn_object_detector/pmap",
+                 tiled: Optional[TiledSegmenter] = None,
+                 publish_rects: bool = True):
+        self.bus = bus
+        self.mode = mode
+        self.detector = detector or Detector()
+        self.tiled = tiled
+        self.rects_topic = rects_topic
+        self.pmap_topic = pmap_topic
+        self.publish_rects = publish_rects
+        self.processed = 0
+        bus.subscribe(image_topic, self._callback, queue_size=1)
+
+    def _callback(self, msg: Message):
+        frame = msg.data
+        if frame is None:
+            return
+        if self.mode == "tiled":
+            assert self.tiled is not None, "tiled mode needs a TiledSegmenter"
+            pmap, boxes = self.tiled(frame)
+            self.bus.publish(self.pmap_topic, pmap, stamp=msg.stamp)
+            if self.publish_rects:
+                pts, labels = [], []
+                for (x, y, w, h), cls in boxes:
+                    pts += [(x, y), (x + w, y + h)]
+                    labels.append(cls)
+                self.bus.publish(self.rects_topic,
+                                 RectsMsg(pts, labels, [0.0] * len(labels)),
+                                 stamp=msg.stamp)
+        else:
+            res = self.detector(frame[None])
+            dets = res.to_lists()[0]
+            pts = [p for box, _, _ in dets
+                   for p in ((box[0], box[1]), (box[2], box[3]))]
+            labels = [l for _, l, _ in dets]
+            confs = [c for _, _, c in dets]
+            if self.publish_rects:
+                self.bus.publish(self.rects_topic,
+                                 RectsMsg(pts, labels, confs),
+                                 stamp=msg.stamp)
+        self.processed += 1
+
+
+def replay(node: DetectorNode, frames: Sequence[np.ndarray],
+           bus: Optional[TopicBus] = None,
+           image_topic: str = "image") -> int:
+    """Bag-replay driver: publish frames through the bus and spin the
+    node after each (the throughput-mode harness of BASELINE config #2)."""
+    bus = bus or node.bus
+    for i, f in enumerate(frames):
+        bus.publish(image_topic, f, stamp=float(i))
+        bus.spin_once()
+    return node.processed
