@@ -1,0 +1,139 @@
+"""Tools (capture, ROI classifier, refinement, ranking) + mAP evaluator."""
+
+import os
+
+import numpy as np
+import cv2 as cv
+import pytest
+
+from tpufcn.data.manifest import DetectionSample, read_detection_manifest
+from tpufcn.serve.bus import TopicBus
+from tpufcn.tools import (
+    BoundaryRefiner, CnnCodeExtractor, ImageRectWriter, RankObjectProposals,
+    ROIClassifier)
+from tpufcn.tools.boundary_refinement import ncc_track
+from tpufcn.tools.features import bhattacharyya, chi_square
+from tpufcn.train.evaluate import (
+    average_precision, box_iou_corners, evaluate_detections)
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    import jax.numpy as jnp
+    return CnnCodeExtractor(input_size=64, dtype=jnp.float32)
+
+
+def _scene(rng, ox, oy):
+    img = rng.integers(0, 60, (120, 160, 3)).astype(np.uint8)
+    # textured object (constant patches make NCC tracking degenerate)
+    gy, gx = np.mgrid[0:40, 0:30]
+    patch = np.stack([30 + gx * 4, 200 - gy * 3, 120 + ((gx + gy) % 7) * 10],
+                     axis=-1).clip(0, 255).astype(np.uint8)
+    img[oy:oy + 40, ox:ox + 30] = patch
+    return img
+
+
+def test_capture_node(tmp_path, rng):
+    bus = TopicBus()
+    w = ImageRectWriter(bus, str(tmp_path / "cap"), label=2)
+    img = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+    bus.publish("/camera/rgb/image_rect_color", img, stamp=1.0)
+    bus.publish("/object_rect", [-5, 10, 200, 30], stamp=1.0)  # clamped
+    bus.spin_once()
+    assert w.counter == 1
+    samples = read_detection_manifest(w.manifest)
+    assert samples[0].labels[0] == 1  # label 2, 1-based -> 1
+    np.testing.assert_array_equal(samples[0].rects[0], [0, 10, 80, 30])
+
+
+def test_ncc_track_follows_shift(rng):
+    prev = _scene(rng, 40, 30)
+    cur = _scene(rng, 48, 36)
+    rect = ncc_track(prev, [40, 30, 30, 40], cur)
+    assert abs(rect[0] - 48) <= 2 and abs(rect[1] - 36) <= 2
+
+
+def test_boundary_refiner_manifest(tmp_path, rng, extractor):
+    paths = []
+    for i in range(4):
+        img = _scene(rng, 40 + 4 * i, 30 + 2 * i)
+        p = str(tmp_path / f"f{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    samples = [DetectionSample(p, np.array([[38, 28, 34, 44]]),
+                               np.array([0])) for p in paths]
+    ref = BoundaryRefiner(extractor=extractor)
+    out = str(tmp_path / "refined.txt")
+    n = ref.refine_manifest(samples, out)
+    assert n == 4
+    refined = read_detection_manifest(out)
+    assert len(refined) == 4
+
+
+def test_roi_classifier_trained_head(rng, extractor):
+    imgs = [_scene(rng, 40, 30) for _ in range(4)]
+    clf = ROIClassifier(num_classes=2, extractor=extractor)
+    # train the head: class 1 = the green box crop, class 0 = noise crop
+    crops = ([i[30:70, 40:70] for i in imgs]
+             + [i[0:30, 0:30] for i in imgs])
+    codes = extractor(crops)
+    labels = np.array([1] * 4 + [0] * 4)
+    clf.fit_head(codes, labels, 2)
+    dets = clf(imgs[0], [[40, 30, 30, 40], [0, 0, 30, 30]])
+    assert any(l == 1 for _, l, _ in dets)
+
+
+def test_rank_proposals_filters_outlier(tmp_path, rng, extractor):
+    paths = []
+    for i in range(6):
+        if i == 3:  # outlier frame: no object, random noise
+            img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        else:
+            img = _scene(rng, 40, 30)
+        p = str(tmp_path / f"r{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    samples = [DetectionSample(p, np.array([[40, 30, 30, 40]]),
+                               np.array([0])) for p in paths]
+    # tight threshold: untrained-backbone codes are highly correlated, so
+    # distances are small in absolute terms (outlier ~0.06 vs inliers ~0)
+    ranker = RankObjectProposals(extractor=extractor, distance_thresh=0.03)
+    keep = ranker.rank(samples)
+    assert keep[0]
+    assert not keep[3]          # the outlier is rejected
+    out = str(tmp_path / "train2.txt")
+    n = ranker.write_filtered(samples, out)
+    assert n == int(keep.sum())
+
+
+def test_distance_measures():
+    a = np.array([1.0, 0, 0])
+    assert bhattacharyya(a, a) < 1e-6
+    assert bhattacharyya(a, np.array([0, 1.0, 0])) > 0.9
+    assert chi_square(a, a) == 0.0
+
+
+def test_box_iou_and_ap():
+    a = np.array([[0, 0, 10, 10]])
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15]])
+    ious = box_iou_corners(a, b)
+    np.testing.assert_allclose(ious[0, 0], 1.0)
+    assert 0.1 < ious[0, 1] < 0.2
+    r = np.array([0.5, 1.0])
+    p = np.array([1.0, 0.5])
+    assert 0.5 < average_precision(r, p) <= 1.0
+
+
+def test_evaluate_detections_perfect_and_miss():
+    gt = [(np.array([[0, 0, 10, 10]]), np.array([0])),
+          (np.array([[20, 20, 40, 40]]), np.array([0]))]
+    # perfect detections
+    dets = [(np.array([[0, 0, 10, 10]]), np.array([0]), np.array([0.9])),
+            (np.array([[20, 20, 40, 40]]), np.array([0]), np.array([0.8]))]
+    res = evaluate_detections(gt, dets, num_classes=1)
+    assert res["mAP"] == pytest.approx(1.0)
+    # one miss
+    dets2 = [(np.array([[0, 0, 10, 10]]), np.array([0]), np.array([0.9])),
+             (np.zeros((0, 4)), np.zeros(0), np.zeros(0))]
+    res2 = evaluate_detections(gt, dets2, num_classes=1)
+    assert res2["mAP"] == pytest.approx(0.5)

@@ -1,0 +1,111 @@
+"""Pseudo-label boundary refinement (SURVEY.md C13).
+
+Role of the reference tool (scripts/boundary_adjustment/boundary_refinement.py):
+walk an image sequence with rough tracker-given GT boxes, refine each box
+by tracking from the previous frame, gate the update by CNN-code
+similarity to the previous crop (Bhattacharyya distance of features,
+reference :129-135), and write a refined ``train.txt``.
+
+Design note: the reference tracks with a pretrained GOTURN Caffe net
+(two-input target/image net -> fc8 box, reference :109-120) whose
+weights are not redistributable; tpufcn replaces the tracking step with
+normalized cross-correlation template matching inside a 2x search
+window — the same refine-the-box role with no external weights — while
+keeping the similarity-gated accept/reject logic and the offline
+manifest-rewrite workflow.  A custom tracker can be injected via
+``track_fn(prev_img, prev_rect, cur_img) -> rect``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import cv2 as cv
+import numpy as np
+
+from tpufcn.data.manifest import DetectionSample
+from tpufcn.tools.features import CnnCodeExtractor, bhattacharyya
+
+
+def ncc_track(prev_img: np.ndarray, prev_rect, cur_img: np.ndarray):
+    """Template-match the previous crop inside a 2x window around its
+    old position (GOTURN also searches a 2x context window)."""
+    x, y, w, h = [int(v) for v in prev_rect]
+    x, y = max(x, 0), max(y, 0)
+    w = min(w, prev_img.shape[1] - x)
+    h = min(h, prev_img.shape[0] - y)
+    if w < 4 or h < 4:
+        return list(prev_rect)
+    tmpl = prev_img[y:y + h, x:x + w]
+
+    cx, cy = x + w // 2, y + h // 2
+    sx = max(cx - w, 0)
+    sy = max(cy - h, 0)
+    ex = min(cx + w, cur_img.shape[1])
+    ey = min(cy + h, cur_img.shape[0])
+    search = cur_img[sy:ey, sx:ex]
+    if search.shape[0] < h or search.shape[1] < w:
+        return [x, y, w, h]
+    res = cv.matchTemplate(search, tmpl, cv.TM_CCOEFF_NORMED)
+    _, _, _, max_loc = cv.minMaxLoc(res)
+    return [sx + max_loc[0], sy + max_loc[1], w, h]
+
+
+class BoundaryRefiner:
+    def __init__(self,
+                 extractor: Optional[CnnCodeExtractor] = None,
+                 track_fn: Callable = ncc_track,
+                 similarity_thresh: float = 0.5,
+                 imread=cv.imread):
+        self.extractor = extractor or CnnCodeExtractor()
+        self.track_fn = track_fn
+        self.similarity_thresh = similarity_thresh
+        self.imread = imread
+
+    def _crop(self, img, rect):
+        x, y, w, h = [int(v) for v in rect]
+        x, y = max(x, 0), max(y, 0)
+        w = max(min(w, img.shape[1] - x), 1)
+        h = max(min(h, img.shape[0] - y), 1)
+        return img[y:y + h, x:x + w]
+
+    def refine(self, samples: Sequence[DetectionSample]
+               ) -> List[DetectionSample]:
+        """Offline sequence walk (reference :77-157): refine each frame's
+        box with the tracker; accept when the refined crop's CNN code is
+        close to the previous frame's (Bhattacharyya below threshold),
+        else keep the original annotation."""
+        out: List[DetectionSample] = []
+        prev_img = None
+        prev_rect = None
+        prev_code = None
+        for s in samples:
+            img = self.imread(s.image_path)
+            if img is None:
+                out.append(s)
+                continue
+            rect = [int(v) for v in s.rects[0]]
+            refined = rect
+            if prev_img is not None:
+                cand = self.track_fn(prev_img, prev_rect, img)
+                code = self.extractor([self._crop(img, cand)])[0]
+                dist = bhattacharyya(code, prev_code)
+                if dist < self.similarity_thresh:
+                    refined = [int(v) for v in cand]
+            code_now = self.extractor([self._crop(img, refined)])[0]
+            out.append(DetectionSample(
+                s.image_path, np.asarray([refined], np.int32),
+                s.labels.copy()))
+            prev_img, prev_rect, prev_code = img, refined, code_now
+        return out
+
+    def refine_manifest(self, samples: Sequence[DetectionSample],
+                        out_path: str,
+                        one_based_labels: bool = True) -> int:
+        refined = self.refine(samples)
+        with open(out_path, "w") as f:
+            for s in refined:
+                x, y, w, h = [int(v) for v in s.rects[0]]
+                label = int(s.labels[0]) + (1 if one_based_labels else 0)
+                f.write(f"{s.image_path} {x} {y} {w} {h} {label}\n")
+        return len(refined)

@@ -1,0 +1,72 @@
+"""CNN-code feature extraction for the offline label tools.
+
+The reference extracts "CNN codes" (CaffeNet fc7 activations) per image
+crop for similarity gating and clustering (reference
+scripts/boundary_adjustment/boundary_refinement.py:385-396,
+scripts/boundary_adjustment/rank_object_models.py:270-276).  tpufcn's
+equivalent is the global-average-pooled VGG16 conv5_3 activation
+(512-d) from the shared backbone, jitted and batched on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import cv2 as cv
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufcn.models.vgg import VGG16Backbone
+from tpufcn.ops.image import demean_bgr
+
+
+class CnnCodeExtractor:
+    def __init__(self, input_size: int = 224, dtype=jnp.bfloat16,
+                 params=None, rng_seed: int = 0):
+        self.size = input_size
+        self.backbone = VGG16Backbone(dtype=dtype)
+        if params is None:
+            x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+            params = jax.jit(self.backbone.init)(jax.random.key(rng_seed), x0)
+        self.params = params
+
+        @jax.jit
+        def _codes(p, x):
+            taps = self.backbone.apply(p, demean_bgr(x))
+            feat = taps["conv5_3"].astype(jnp.float32)
+            code = jnp.mean(feat, axis=(1, 2))            # (B, 512)
+            norm = jnp.linalg.norm(code, axis=-1, keepdims=True)
+            return code / jnp.maximum(norm, 1e-8)
+
+        self._codes = _codes
+
+    def __call__(self, crops_bgr: Sequence[np.ndarray]) -> np.ndarray:
+        """(N crops, any sizes) -> (N, 512) L2-normalized codes."""
+        batch = np.stack([
+            cv.resize(np.asarray(c), (self.size, self.size))
+            for c in crops_bgr]).astype(np.float32)
+        return np.asarray(self._codes(self.params, jnp.asarray(batch)))
+
+
+def bhattacharyya(a: np.ndarray, b: np.ndarray) -> float:
+    """Bhattacharyya distance between nonnegative feature vectors, the
+    reference's similarity gate (cv.compareHist HISTCMP_BHATTACHARYYA,
+    boundary_refinement.py:129-135)."""
+    a = np.abs(np.asarray(a, np.float64))
+    b = np.abs(np.asarray(b, np.float64))
+    sa, sb = a.sum(), b.sum()
+    if sa == 0 or sb == 0:
+        return 1.0
+    bc = np.sum(np.sqrt(a * b)) / np.sqrt(sa * sb)
+    return float(np.sqrt(max(0.0, 1.0 - bc)))
+
+
+def chi_square(a: np.ndarray, b: np.ndarray) -> float:
+    """chi^2 histogram distance (cv.HISTCMP_CHISQR), used by the ranking
+    walk (rank_object_models.py)."""
+    a = np.abs(np.asarray(a, np.float64))
+    b = np.abs(np.asarray(b, np.float64))
+    denom = a + b
+    mask = denom > 0
+    return float(np.sum((a[mask] - b[mask]) ** 2 / denom[mask]))
