@@ -1,0 +1,79 @@
+"""CLI + launch-graph wiring tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import cv2 as cv
+import pytest
+
+from tpufcn import recipes
+from tpufcn.serve.launch import launch
+
+
+def test_recipes_match_reference_solvers():
+    bb = recipes.get("bounding_box")
+    assert bb.optimizer == "adam" and bb.learning_rate == 1e-4
+    assert bb.lr_decay_step == 10000 and bb.weight_decay == 1e-7
+    assert bb.grid.im_width == 224 and bb.grid.stride == 8
+    assert bb.data.batch_size == 32 and bb.grid.num_classes == 11
+
+    fb = recipes.get("fcn_bbox")
+    assert fb.optimizer == "sgd" and fb.momentum == 0.9
+    assert fb.grid.im_width == 288 and fb.data.batch_size == 24
+
+    seg = recipes.get("semantic_segmentation")
+    assert seg.grid.num_classes == 12 and seg.data.batch_size == 30
+
+    vc = recipes.get("voc")
+    assert vc.grid.num_classes == 20 and vc.grid.im_width == 448
+
+
+def test_launch_graph_detector(rng):
+    graph = launch({
+        "fcn_object_detector": {
+            "type": "detector",
+            "params": {"model": "googlenet_detectnet_1cls",
+                       "max_candidates": 32},
+            "remap": {"image": "/camera/rgb/image_rect_color"},
+        },
+    })
+    got = []
+    graph.bus.subscribe("/fcn_object_detector/rects",
+                        lambda m: got.append(m.data), queue_size=4)
+    frame = rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
+    graph.bus.publish("/camera/rgb/image_rect_color", frame, stamp=0.0)
+    graph.spin(2)
+    assert graph.nodes["fcn_object_detector"].processed == 1
+    assert len(got) == 1
+
+
+def test_launch_missing_weights_fails():
+    with pytest.raises(FileNotFoundError, match="PRETRAINED"):
+        launch({"d": {"type": "detector",
+                      "params": {"model": "googlenet_detectnet_1cls",
+                                 "pretrained_weights": "/no/such.caffemodel"}}})
+
+
+def test_cli_detect_inprocess(tmp_path, rng, capsys):
+    img = rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
+    p = str(tmp_path / "frame.png")
+    cv.imwrite(p, img)
+    from tpufcn.cli import main
+    main(["detect", p, "--model", "googlenet_detectnet_1cls"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["image"] == p and "detections" in rec
+
+
+def test_cli_records_and_voc(tmp_path, rng):
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    ip = str(tmp_path / "a.png")
+    cv.imwrite(ip, img)
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        f.write(f"{ip} 5 5 20 20 1\n")
+    from tpufcn.cli import main
+    main(["records", "--manifest", man, "--out", str(tmp_path / "rec/ds")])
+    from tpufcn.data import RecordReader
+    assert len(RecordReader(str(tmp_path / "rec/ds"))) == 1

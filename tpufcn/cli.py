@@ -1,0 +1,172 @@
+"""Command-line interface — the ``caffe train`` / shell-script analog.
+
+Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
+  train     recipe-based training (train/train.sh equivalent)
+  detect    run the detector over image files
+  convert   .caffemodel -> checkpoint
+  records   build record shards from a manifest (LMDB writer analog)
+  voc       Pascal VOC -> manifests (scripts/voc analog)
+  bench     the headline throughput benchmark
+  pointmap  build the C++ point-map library
+
+Usage: python -m tpufcn.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_train(args):
+    import jax.numpy as jnp
+    from tpufcn import recipes
+    from tpufcn.core.config import DataConfig
+    import dataclasses
+    from tpufcn.data import CompositeTrainPipeline, read_mask_manifest
+    from tpufcn.train.trainer import Trainer
+
+    cfg = recipes.get(args.recipe)
+    if args.max_iter:
+        cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          batch_size=args.batch_size))
+    if args.snapshot_dir:
+        cfg = dataclasses.replace(cfg, snapshot_dir=args.snapshot_dir)
+
+    samples = read_mask_manifest(args.manifest)
+    pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
+                                  backgrounds=args.backgrounds)
+    trainer = Trainer(cfg, with_seg=args.recipe in
+                      ("fcn_bbox", "semantic_segmentation"))
+    state = trainer.fit(iter(pipe))
+    print(f"trained to step {int(state.step)}; snapshots in "
+          f"{cfg.snapshot_dir}")
+
+
+def _cmd_detect(args):
+    import cv2 as cv
+    import numpy as np
+    from tpufcn.serve.detector import Detector
+    from tpufcn.serve.launch import _make_detector  # weight loading path
+    from tpufcn.serve.bus import TopicBus
+
+    bus = TopicBus()
+    node = _make_detector(bus, {
+        "model": args.model,
+        "detection_threshold": args.threshold,
+        "min_boxes": args.min_boxes,
+        "nms_eps": args.nms_eps,
+        "pretrained_weights": args.weights,
+    }, {})
+    for path in args.images:
+        img = cv.imread(path)
+        if img is None:
+            print(f"{path}: unreadable", file=sys.stderr)
+            continue
+        res = node.detector(img[None])
+        dets = res.to_lists()[0]
+        print(json.dumps({"image": path, "detections": [
+            {"box": [int(v) for v in box], "label": label,
+             "confidence": conf}
+            for box, label, conf in dets]}))
+
+
+def _cmd_convert(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpufcn.convert import convert_caffemodel
+    from tpufcn.models import build, get_spec
+
+    spec = get_spec(args.model)
+    model = build(args.model, dtype=jnp.float32)
+    g = spec.grid
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, g.im_height, g.im_width, 3)))
+    out = convert_caffemodel(params, args.caffemodel,
+                             strict=not args.lenient)
+    flat = jax.tree_util.tree_leaves_with_path(out)
+    np.savez(args.out, **{
+        "/".join(str(k.key) for k in path): np.asarray(v)
+        for path, v in flat})
+    print(f"wrote {args.out} ({len(flat)} arrays)")
+
+
+def _cmd_records(args):
+    from tpufcn.data import create_detection_records, read_detection_manifest
+    samples = read_detection_manifest(args.manifest)
+    n = create_detection_records(samples, args.out)
+    print(f"wrote {n} records to {args.out}-*.rec")
+
+
+def _cmd_voc(args):
+    from tpufcn.data.voc import PascalVOC
+    PascalVOC(args.voc_root).create(args.out)
+    print(f"wrote manifests to {args.out}")
+
+
+def _cmd_bench(args):
+    import runpy
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def _cmd_pointmap(args):
+    from tpufcn.pointmap import build_library
+    print(build_library(force=True))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpufcn", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--recipe", default="bounding_box")
+    t.add_argument("--manifest", required=True)
+    t.add_argument("--backgrounds", nargs="*", default=None)
+    t.add_argument("--max-iter", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--snapshot-dir", default=None)
+    t.set_defaults(fn=_cmd_train)
+
+    d = sub.add_parser("detect")
+    d.add_argument("images", nargs="+")
+    d.add_argument("--model", default="googlenet_detectnet")
+    d.add_argument("--weights", default=None)
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--min-boxes", type=int, default=3)
+    d.add_argument("--nms-eps", type=float, default=0.2)
+    d.set_defaults(fn=_cmd_detect)
+
+    c = sub.add_parser("convert")
+    c.add_argument("caffemodel")
+    c.add_argument("--model", default="googlenet_detectnet")
+    c.add_argument("--out", default="weights.npz")
+    c.add_argument("--lenient", action="store_true")
+    c.set_defaults(fn=_cmd_convert)
+
+    r = sub.add_parser("records")
+    r.add_argument("--manifest", required=True)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=_cmd_records)
+
+    v = sub.add_parser("voc")
+    v.add_argument("voc_root")
+    v.add_argument("--out", default=".")
+    v.set_defaults(fn=_cmd_voc)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=_cmd_bench)
+
+    pm = sub.add_parser("pointmap")
+    pm.set_defaults(fn=_cmd_pointmap)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

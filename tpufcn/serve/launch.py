@@ -1,0 +1,133 @@
+"""Launch-style node-graph wiring (SURVEY.md C22 analog).
+
+The reference wires topics and rosparams through launch files
+(reference launch/fcn_object_detector.launch:2-23,
+launch/fcn_point_map.launch:3-19).  tpufcn keeps the same shape as a
+declarative dict — nodes with params and topic remappings — resolved
+onto one in-process TopicBus:
+
+    graph = launch({
+        "fcn_object_detector": {
+            "type": "detector",
+            "params": {"model": "googlenet_detectnet",
+                        "detection_threshold": 0.5,
+                        "min_boxes": 3, "nms_eps": 0.2,
+                        "pretrained_weights": "snapshot.caffemodel"},
+            "remap": {"image": "/camera/rgb/image_rect_color"},
+        },
+        "fcn_point_map": {"type": "point_map", "params": {...}},
+    })
+    graph.bus.publish(...); graph.spin()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+from tpufcn.core.config import DetectorConfig
+from tpufcn.serve.bus import TopicBus
+
+
+@dataclasses.dataclass
+class LaunchGraph:
+    bus: TopicBus
+    nodes: Dict[str, Any]
+
+    def spin(self, n: int = 1):
+        for _ in range(n):
+            self.bus.spin_once()
+
+
+def _make_detector(bus: TopicBus, params: Dict[str, Any],
+                   remap: Dict[str, str]):
+    import jax.numpy as jnp
+    from tpufcn.models import build, get_spec
+    from tpufcn.serve.detector import Detector
+    from tpufcn.serve.stream import DetectorNode, TiledSegmenter
+
+    model_name = params.get("model", "googlenet_detectnet")
+    spec = get_spec(model_name)
+    cfg = DetectorConfig(
+        grid=spec.grid,
+        detection_threshold=params.get("detection_threshold", 0.5),
+        min_boxes=params.get("min_boxes", 3),
+        nms_eps=params.get("nms_eps", 0.2),
+        model=model_name,
+        max_candidates=params.get("max_candidates", 256))
+
+    det_params = None
+    weights = params.get("pretrained_weights")
+    if weights:
+        # reference kills the node when model files are missing
+        # (fcn_object_detector.py:428-439); same contract here
+        import os
+        if not os.path.isfile(weights):
+            raise FileNotFoundError(f"PROVIDE PRETRAINED MODEL: {weights}")
+        import jax
+        from tpufcn.convert import convert_caffemodel
+        model = build(model_name, dtype=jnp.bfloat16)
+        g = spec.grid
+        init = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
+        det_params = convert_caffemodel(init, weights, strict=False)
+
+    detector = Detector(model_name, config=cfg, params=det_params,
+                        max_candidates=cfg.candidate_capacity)
+    mode = params.get("mode", "boxes")
+    tiled = None
+    if mode == "tiled":
+        tiled = TiledSegmenter(params.get("seg_model", "fcn32s_seg"),
+                               prob_thresh=cfg.detection_threshold,
+                               stride=params.get("tile_stride", 1))
+    return DetectorNode(
+        bus, detector=detector, mode=mode, tiled=tiled,
+        image_topic=remap.get("image", "image"),
+        rects_topic=remap.get("rects", "/fcn_object_detector/rects"),
+        pmap_topic=remap.get("pmap", "/fcn_object_detector/pmap"))
+
+
+def _make_point_map(bus: TopicBus, params: Dict[str, Any],
+                    remap: Dict[str, str]):
+    from tpufcn.pointmap import PointMapNode
+    return PointMapNode(
+        bus,
+        cloud_topic=remap.get("cloud", "cloud"),
+        mask_topic=remap.get("mask", "mask"),
+        pmap_topic=remap.get("pmap", "pmap"),
+        coef_topic=remap.get("coefficients", "coefficients"),
+        cluster_tol=params.get("cluster_tolerance", 0.02),
+        min_cluster=params.get("min_cluster_size", 100),
+        max_cluster=params.get("max_cluster_size", 25000),
+        area_thresh=params.get("rect_thresh", 400))
+
+
+def _make_capture(bus: TopicBus, params: Dict[str, Any],
+                  remap: Dict[str, str]):
+    from tpufcn.tools.capture import ImageRectWriter
+    return ImageRectWriter(
+        bus, out_dir=params.get("out_dir", "capture"),
+        label=params.get("label", 1),
+        image_topic=remap.get("image", "/camera/rgb/image_rect_color"),
+        rect_topic=remap.get("rect", "/object_rect"))
+
+
+_NODE_TYPES = {
+    "detector": _make_detector,
+    "point_map": _make_point_map,
+    "capture": _make_capture,
+}
+
+
+def launch(config: Dict[str, Dict[str, Any]],
+           bus: Optional[TopicBus] = None) -> LaunchGraph:
+    bus = bus or TopicBus()
+    nodes = {}
+    for name, spec in config.items():
+        ntype = spec.get("type")
+        if ntype not in _NODE_TYPES:
+            raise KeyError(f"unknown node type '{ntype}' for '{name}'")
+        nodes[name] = _NODE_TYPES[ntype](
+            bus, spec.get("params", {}), spec.get("remap", {}))
+    return LaunchGraph(bus=bus, nodes=nodes)
