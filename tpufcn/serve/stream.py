@@ -144,7 +144,8 @@ class DetectorNode:
                  rects_topic: str = "/fcn_object_detector/rects",
                  pmap_topic: str = "/fcn_object_detector/pmap",
                  tiled: Optional[TiledSegmenter] = None,
-                 publish_rects: bool = True):
+                 publish_rects: bool = True,
+                 timer=None):
         self.bus = bus
         self.mode = mode
         self.detector = detector or Detector()
@@ -152,10 +153,17 @@ class DetectorNode:
         self.rects_topic = rects_topic
         self.pmap_topic = pmap_topic
         self.publish_rects = publish_rects
+        self.timer = timer   # optional tpufcn.utils.StageTimer
         self.processed = 0
         bus.subscribe(image_topic, self._callback, queue_size=1)
 
     def _callback(self, msg: Message):
+        if self.timer is not None:
+            with self.timer.stage(f"detector/{self.mode}"):
+                return self._process(msg)
+        return self._process(msg)
+
+    def _process(self, msg: Message):
         frame = msg.data
         if frame is None:
             return
