@@ -171,3 +171,29 @@ def vote_boxes(propose_boxes: jax.Array,
     ok = grouped.valid & tall
     conf = jnp.where(ok, jnp.log(jnp.maximum(grouped.weights, 1).astype(jnp.float32)), 0.0)
     return Detections(boxes=grouped.rects, confidence=conf, valid=ok)
+
+
+def vote_boxes_batched(propose_boxes: jax.Array,
+                       valid: jax.Array,
+                       group_threshold: int = 3,
+                       eps: float = 0.2,
+                       min_height: int = 20) -> Detections:
+    """Batched vote_boxes over (M, K, 4)/(M, K) candidates.
+
+    On TPU with K a multiple of 128 this dispatches to the fused Pallas
+    kernel (tpufcn/ops/pallas/group_rects.py — whole algorithm in VMEM
+    per instance); otherwise a vmapped XLA path.  Identical semantics,
+    shared golden tests.
+    """
+    if jax.default_backend() == "tpu" and propose_boxes.shape[-2] % 128 == 0:
+        from tpufcn.ops.pallas.group_rects import group_rectangles_pallas
+        g = group_rectangles_pallas(propose_boxes, valid,
+                                    group_threshold, eps)
+        tall = (g.rects[..., 3] - g.rects[..., 1]) >= min_height
+        ok = g.valid & tall
+        conf = jnp.where(
+            ok, jnp.log(jnp.maximum(g.weights, 1).astype(jnp.float32)), 0.0)
+        return Detections(boxes=g.rects, confidence=conf, valid=ok)
+    return jax.vmap(
+        lambda b, v: vote_boxes(b, v, group_threshold, eps, min_height)
+    )(propose_boxes, valid)

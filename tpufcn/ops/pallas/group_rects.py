@@ -1,0 +1,180 @@
+"""Fused Pallas kernel for groupRectangles NMS.
+
+The XLA formulation (tpufcn/ops/group_rects.py) materializes ~2 MB of
+(N, N) intermediates in HBM per (image, class) instance — adjacency,
+8 closure squarings, membership.  This kernel keeps the whole algorithm
+in VMEM per instance: adjacency build, transitive closure by 8 in-VMEM
+bf16 MXU squarings, min-index labels, cluster means via an in-VMEM
+matmul, and the containment-suppression pass.  HBM traffic is just the
+packed candidates in and the packed clusters out (~10 KB per instance).
+
+Packing: an instance is an (8, N) float32 block —
+  rows in:  x, y, w, h, valid, 0, 0, 0
+  rows out: mean_x, mean_y, mean_w, mean_h, weight, valid, 0, 0
+(the (N, 4) layout would put 4 in the lane dimension; 8xN keeps lanes =
+N = a multiple of 128).
+
+Semantics are identical to tpufcn.ops.group_rects.group_rectangles
+(OpenCV groupRectangles with the reference's corner-boxes field
+interpretation); the shared unit tests compare both against the numpy
+union-find golden.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpufcn.ops.group_rects import GroupedRects
+
+
+def _kernel(in_ref, out_ref, *, eps: float, group_threshold: int, n: int):
+    # All masks stay float32 and all intermediates stay 2-D (Mosaic
+    # mishandles 1-D / replicated bool vector relayouts).
+    blk = in_ref[0]                       # (8, N)
+    x = jnp.rint(blk[0:1])                # (1, N)
+    y = jnp.rint(blk[1:2])
+    w = jnp.rint(blk[2:3])
+    h = jnp.rint(blk[3:4])
+    vf = jnp.where(blk[4:5] > 0.5, 1.0, 0.0)   # (1, N) float mask
+
+    xc, yc = x.T, y.T                     # (N, 1) columns
+    wc, hc = w.T, h.T
+    vfc = vf.T
+
+    delta = eps * 0.5 * (jnp.minimum(wc, w) + jnp.minimum(hc, h))
+    close = (
+        jnp.where(jnp.abs(xc - x) <= delta, 1.0, 0.0)
+        * jnp.where(jnp.abs(yc - y) <= delta, 1.0, 0.0)
+        * jnp.where(jnp.abs((xc + wc) - (x + w)) <= delta, 1.0, 0.0)
+        * jnp.where(jnp.abs((yc + hc) - (y + h)) <= delta, 1.0, 0.0)
+        * vfc * vf)                        # (N, N) 0/1 float
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eyef = jnp.where(row_ids == col_ids, 1.0, 0.0)
+
+    # reflexive closure by repeated bf16 squaring (entries 0/1; row sums
+    # <= N so ">0" is exact in bf16).  Realistic similarity graphs have
+    # tiny diameter, so the loop exits as soon as the edge count stops
+    # growing (closure is monotone); the bound still covers length-N chains.
+    a0 = jnp.maximum(close, eyef).astype(jnp.bfloat16)
+    max_steps = max(1, math.ceil(math.log2(max(n - 1, 2))))
+
+    def cond(state):
+        _, prev_cnt, cnt, step = state
+        return (step < max_steps) & (cnt > prev_cnt)
+
+    def body(state):
+        a, _, cnt, step = state
+        s = jnp.dot(a, a, preferred_element_type=jnp.float32)
+        a2 = jnp.where(s > 0, 1.0, 0.0)
+        new_cnt = jnp.sum(a2)
+        return a2.astype(jnp.bfloat16), cnt, new_cnt, step + 1
+
+    a, _, _, _ = jax.lax.while_loop(
+        cond, body, (a0, jnp.float32(-1.0), jnp.sum(a0.astype(jnp.float32)),
+                     jnp.int32(0)))
+    reachf = a.astype(jnp.float32)        # (N, N) 0/1
+
+    big = jnp.float32(n)
+    label_col = jnp.min(
+        jnp.where(reachf > 0, col_ids.astype(jnp.float32), big),
+        axis=1, keepdims=True)            # (N, 1) float labels
+    rowc = row_ids[:, 0:1].astype(jnp.float32)
+    label_col = jnp.where(vfc > 0, jnp.minimum(label_col, rowc), rowc)
+
+    member = jnp.where(label_col == col_ids.astype(jnp.float32),
+                       1.0, 0.0) * vfc     # (N, N)
+    counts = jnp.sum(member, axis=0, keepdims=True)              # (1, N)
+    rects4 = jnp.concatenate([x, y, w, h], axis=0)               # (4, N)
+    sums = jnp.dot(rects4, member,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)          # (4, N)
+    sums = jnp.rint(sums)  # integer by construction; clear residual noise
+    # Exactly-rounded integer division (Mosaic float division goes via an
+    # approximate reciprocal, which flips .5-boundary cases):
+    # q = rint(sums/counts) with half-to-even ties, corrected via the
+    # exact remainder (all quantities are integers < 2^24, exact in f32).
+    cnt = jnp.maximum(counts, 1.0)
+    q = jnp.rint(sums / cnt)
+    # two correction passes: the initial quotient can be off by ~1 unit
+    for _ in range(2):
+        r = sums - q * cnt
+        q = q + jnp.where(2.0 * r > cnt, 1.0, 0.0) \
+              - jnp.where(2.0 * r < -cnt, 1.0, 0.0)
+    r = sums - q * cnt
+    odd = q - 2.0 * jnp.floor(q * 0.5)
+    q = q + jnp.where((2.0 * r == cnt), odd, 0.0) \
+          - jnp.where((2.0 * r == -cnt), odd, 0.0)
+    means = q
+
+    survive = jnp.where(counts > group_threshold, 1.0, 0.0)      # (1, N)
+
+    mx, my = means[0:1], means[1:2]
+    mw, mh = means[2:3], means[3:4]
+    dx = jnp.rint(mw * eps)
+    dy = jnp.rint(mh * eps)
+    n1 = counts.T                          # (N, 1) — row i
+    n2 = counts                            # (1, N) — col j
+    inside = (
+        jnp.where(mx.T >= mx - dx, 1.0, 0.0)
+        * jnp.where(my.T >= my - dy, 1.0, 0.0)
+        * jnp.where((mx.T + mw.T) <= (mx + mw + dx), 1.0, 0.0)
+        * jnp.where((my.T + mh.T) <= (my + mh + dy), 1.0, 0.0))
+    vote_rule = jnp.where(
+        (n2 > jnp.maximum(3.0, n1)) | (n1 < 3.0), 1.0, 0.0)
+    dominated = inside * vote_rule * survive * (1.0 - eyef)
+    suppressed_col = jnp.max(dominated, axis=1, keepdims=True)   # (N, 1)
+
+    ok = survive * (1.0 - suppressed_col.T)                      # (1, N)
+    zeros = jnp.zeros((2, n), jnp.float32)
+    out = jnp.concatenate([
+        means * ok,
+        counts * ok,
+        ok,
+        zeros,
+    ], axis=0)                                                   # (8, N)
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("group_threshold", "eps"))
+def group_rectangles_pallas(rects: jax.Array,
+                            valid: jax.Array,
+                            group_threshold: int = 3,
+                            eps: float = 0.2) -> GroupedRects:
+    """Batched fused groupRectangles.
+
+    Args:
+      rects: (B, N, 4) candidate boxes, N a multiple of 128.
+      valid: (B, N) bool.
+    Returns GroupedRects with (B, N, 4)/(B, N) fields.
+    """
+    b, n, _ = rects.shape
+    assert n % 128 == 0, f"candidate capacity {n} must be a multiple of 128"
+    packed = jnp.concatenate([
+        rects.astype(jnp.float32).transpose(0, 2, 1),       # (B, 4, N)
+        valid.astype(jnp.float32)[:, None, :],              # (B, 1, N)
+        jnp.zeros((b, 3, n), jnp.float32),
+    ], axis=1)                                              # (B, 8, N)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps,
+                          group_threshold=group_threshold, n=n),
+        out_shape=jax.ShapeDtypeStruct((b, 8, n), jnp.float32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(packed)
+
+    means = out[:, 0:4].transpose(0, 2, 1)                  # (B, N, 4)
+    weights = out[:, 4].astype(jnp.int32)
+    ok = out[:, 5] > 0.5
+    return GroupedRects(rects=means, weights=weights, valid=ok)

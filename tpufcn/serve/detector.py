@@ -27,7 +27,7 @@ import numpy as np
 from tpufcn.core.config import DetectorConfig, GridConfig
 from tpufcn.models import build as build_model, get_spec
 from tpufcn.ops.grid_codec import decode_gridboxes
-from tpufcn.ops.group_rects import vote_boxes
+from tpufcn.ops.group_rects import vote_boxes_batched
 from tpufcn.ops.image import demean_bgr, resize_bilinear
 
 
@@ -144,16 +144,18 @@ class Detector:
                 # top-K candidates by coverage among valid cells
                 score = jnp.where(valid_c, cvg_c, -1.0)
                 _, idx = jax.lax.top_k(score, K)
-                cand = boxes_c[idx]
-                cand_valid = valid_c[idx]
-                det = vote_boxes(cand, cand_valid,
-                                 cfg.min_boxes, cfg.nms_eps,
-                                 cfg.min_box_height)
-                return det.boxes, det.confidence, det.valid
+                return boxes_c[idx], valid_c[idx]
 
             return jax.vmap(per_class)(boxes, cvg, valid)
 
-        d_boxes, d_conf, d_valid = jax.vmap(per_image)(coverage, bboxes)
+        cand_boxes, cand_valid = jax.vmap(per_image)(coverage, bboxes)
+        B, C = cand_boxes.shape[0], cand_boxes.shape[1]
+        det = vote_boxes_batched(
+            cand_boxes.reshape(B * C, K, 4), cand_valid.reshape(B * C, K),
+            cfg.min_boxes, cfg.nms_eps, cfg.min_box_height)
+        d_boxes = det.boxes.reshape(B, C, K, 4)
+        d_conf = det.confidence.reshape(B, C, K)
+        d_valid = det.valid.reshape(B, C, K)
 
         # resize_detection back to frame coords (reference
         # fcn_object_detector.py:396-405); the reference materializes int
