@@ -1,0 +1,78 @@
+"""Pallas kernels in interpreter mode (CPU) vs XLA references.
+
+On real TPU these run compiled (exercised by bench.py / the serve
+pipeline); the interpreter keeps kernel semantics under CI on the CPU
+backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufcn.ops.caffe_layers import lrn_across_channels, max_pool_caffe
+from tpufcn.ops.pallas.stem import googlenet_stem_pallas, stem_tail_pallas
+
+
+def _stem_ref(x, w1, b1, wr, br, w2, b2):
+    y = (jnp.asarray(x, jnp.float32) - 127.0).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.asarray(w1, jnp.bfloat16), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + b1, 0).astype(jnp.bfloat16)
+    y = max_pool_caffe(y, 3, 2)
+    y = lrn_across_channels(y)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.asarray(wr, jnp.bfloat16), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + br, 0).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.asarray(w2, jnp.bfloat16), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + b2, 0).astype(jnp.bfloat16)
+    y = lrn_across_channels(y)
+    return max_pool_caffe(y, 3, 2)
+
+
+def _weights(rng):
+    return (
+        (rng.standard_normal((7, 7, 3, 64)) * 0.05).astype(np.float32),
+        (rng.standard_normal(64) * 0.1).astype(np.float32),
+        (rng.standard_normal((1, 1, 64, 64)) * 0.05).astype(np.float32),
+        (rng.standard_normal(64) * 0.1).astype(np.float32),
+        (rng.standard_normal((3, 3, 64, 192)) * 0.05).astype(np.float32),
+        (rng.standard_normal(192) * 0.1).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("H", [64, 128])
+def test_stem_kernel_matches_xla(rng, H):
+    """Single- and multi-stripe geometries, bf16-rounding tolerance."""
+    ws = _weights(rng)
+    x = rng.integers(0, 256, (2, H, H, 3)).astype(np.uint8)
+    ref = np.asarray(_stem_ref(x, *ws), np.float32)
+    got = np.asarray(
+        googlenet_stem_pallas(jnp.asarray(x), *ws, interpret=True),
+        np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=0.26)
+    # most entries agree exactly in bf16
+    close = np.abs(got - ref) < 1e-3
+    assert close.mean() > 0.97
+
+
+def test_stem_tail_multi_stripe_seams(rng):
+    """The stripe-boundary rows (the historical bug surface) on a
+    4-stripe geometry."""
+    ws = _weights(rng)
+    x = rng.integers(0, 256, (1, 448, 448, 3)).astype(np.uint8)
+    ref = np.asarray(_stem_ref(x, *ws), np.float32)
+    got = np.asarray(
+        googlenet_stem_pallas(jnp.asarray(x), *ws, interpret=True),
+        np.float32)
+    for row in (13, 14, 27, 28, 41, 42, 55):  # stripe seams + ceil edge
+        np.testing.assert_allclose(got[0, row], ref[0, row], atol=0.26,
+                                   err_msg=f"row {row}")
