@@ -91,10 +91,15 @@ class Detector:
                  params: Optional[Any] = None,
                  dtype=jnp.bfloat16,
                  max_candidates: int = 512,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0,
+                 model_kwargs: Optional[dict] = None):
         self.spec = get_spec(model_name)
-        self.model = build_model(model_name, dtype=dtype)
+        model_kwargs = dict(model_kwargs or {})
+        self.model = build_model(model_name, dtype=dtype, **model_kwargs)
         grid = self.spec.grid
+        if "num_classes" in model_kwargs:
+            grid = dataclasses.replace(
+                grid, num_classes=model_kwargs["num_classes"])
         self.config = config or DetectorConfig(
             grid=grid, model=model_name, max_candidates=max_candidates)
         self.grid = self.config.grid
@@ -174,3 +179,21 @@ class Detector:
         """(fn, params) pair for compile checks / benchmarking the raw
         jitted pipeline without the class wrapper."""
         return self._infer, self.params
+
+    @classmethod
+    def from_checkpoint(cls, snapshot_dir: str,
+                        model_name: str = "googlenet_detectnet",
+                        step: Optional[int] = None,
+                        **kwargs) -> "Detector":
+        """Load serving weights from a Trainer orbax snapshot directory
+        (the .caffemodel-loading path lives in serve/launch.py)."""
+        import os
+        import orbax.checkpoint as ocp
+        det = cls(model_name, **kwargs)
+        mgr = ocp.CheckpointManager(os.path.abspath(snapshot_dir))
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {snapshot_dir}")
+        restored = mgr.restore(step)
+        det.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        return det
