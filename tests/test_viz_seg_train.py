@@ -1,0 +1,52 @@
+"""Visualization util + seg-family (fcn8s_bbox) train step."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpufcn.core.config import GridConfig, TrainConfig, DataConfig
+from tpufcn.models import build
+from tpufcn.serve.viz import class_colors, colorize_pmap, draw_detections
+from tpufcn.train.step import init_state, make_train_step
+
+
+def test_draw_detections(rng):
+    frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    dets = [([10, 20, 60, 90], 0, 1.1), ([80, 10, 150, 100], 1, 0.7)]
+    out = draw_detections(frame, dets, names=["cup", "box"])
+    assert out.shape == frame.shape and out.dtype == np.uint8
+    assert (out != frame).any()            # something was drawn
+    assert (draw_detections(frame, []) == frame).all()
+
+
+def test_colorize_pmap(rng):
+    pmap = rng.integers(0, 255, (60, 80)).astype(np.uint8)
+    out = colorize_pmap(pmap)
+    assert out.shape == (60, 80, 3)
+
+
+def test_class_colors_stable():
+    assert class_colors(3) == class_colors(3)
+    assert len(class_colors(5)) == 5
+
+
+def test_fcn8s_train_step_with_seg(rng):
+    """Joint bbox + coverage + softmax-seg losses (the reference fcn_bbox
+    recipe, SURVEY.md C18/C20)."""
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=3)
+    cfg = TrainConfig(grid=grid, model="fcn8s_bbox",
+                      data=DataConfig(batch_size=2),
+                      optimizer="sgd", learning_rate=1e-6)
+    model = build("fcn8s_bbox", dtype=jnp.float32, num_classes=3)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, with_seg=True)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32) * 255),
+        "rects": jnp.tile(jnp.asarray([8.0, 8.0, 30.0, 30.0]), (2, 4, 1)),
+        "labels": jnp.ones((2, 4), jnp.int32),
+        "valid": jnp.asarray(np.tile([True, False, False, False], (2, 1))),
+        "seg": jnp.asarray(rng.integers(0, 3, (2, 64, 64)).astype(np.int32)),
+    }
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    for k in ("loss_bbox", "loss_coverage", "loss_seg", "loss_total"):
+        assert np.isfinite(float(metrics[k])), k

@@ -109,6 +109,37 @@ def _cmd_voc(args):
     print(f"wrote manifests to {args.out}")
 
 
+def _cmd_eval(args):
+    import cv2 as cv
+    import numpy as np
+    from tpufcn.data import read_voc_manifest, read_detection_manifest
+    from tpufcn.models import get_spec
+    from tpufcn.serve.detector import Detector
+    from tpufcn.train.evaluate import evaluate_detector
+    from tpufcn.ops.boxes import rects_to_corners
+
+    reader = (read_voc_manifest if args.format == "voc"
+              else read_detection_manifest)
+    samples = reader(args.manifest)
+    det = Detector(args.model)
+    images, gts = [], []
+    for s in samples[:args.limit]:
+        img = cv.imread(s.image_path)
+        if img is None:
+            continue
+        images.append(img)
+        corners = np.asarray(s.rects, np.float64)
+        corners = np.concatenate(
+            [corners[:, :2], corners[:, :2] + corners[:, 2:4]], axis=1)
+        gts.append((corners, np.asarray(s.labels)))
+    C = get_spec(args.model).grid.num_classes
+    res = evaluate_detector(det, images, gts, num_classes=C,
+                            iou_thresh=args.iou)
+    print(json.dumps({"mAP": res["mAP"],
+                      "ap": {str(k): v for k, v in res["ap"].items()},
+                      "images": len(images)}))
+
+
 def _cmd_bench(args):
     import runpy
     runpy.run_path("bench.py", run_name="__main__")
@@ -157,6 +188,14 @@ def main(argv=None):
     v.add_argument("voc_root")
     v.add_argument("--out", default=".")
     v.set_defaults(fn=_cmd_voc)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--manifest", required=True)
+    e.add_argument("--format", choices=("voc", "detection"), default="voc")
+    e.add_argument("--model", default="vgg_pyramid_detectnet")
+    e.add_argument("--iou", type=float, default=0.5)
+    e.add_argument("--limit", type=int, default=10**9)
+    e.set_defaults(fn=_cmd_eval)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=_cmd_bench)

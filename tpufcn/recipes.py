@@ -40,7 +40,10 @@ def fcn_bbox(**overrides) -> TrainConfig:
         data=DataConfig(batch_size=24),
         model="fcn8s_bbox",
         optimizer="sgd", learning_rate=1e-10, lr_decay_step=0,
-        momentum=0.9, weight_decay=1e-7, snapshot_every=10000)
+        momentum=0.9, weight_decay=1e-7, snapshot_every=10000,
+        # the reference fcn_bbox loss graph is L1(bbox) x2 + softmax seg
+        # only — no coverage EuclideanLoss (train/fcn_bbox/train_val.prototxt)
+        coverage_loss_weight=0.0)
     return dataclasses.replace(cfg, **overrides)
 
 
