@@ -51,6 +51,23 @@ def main():
     imgs_per_sec = batch * iters / dt
     p50_ms = dt / iters / batch * 1000.0  # per-frame amortized
 
+    # single-frame (batch 1) device latency, same on-device-loop method
+    one = frames[:1]
+
+    @jax.jit
+    def loop1(params, f):
+        def body(carry, _):
+            out = infer(params, f + carry)
+            return (out.boxes.sum() % 2).astype(jnp.uint8), None
+        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
+                                length=iters)
+        return carry
+
+    _ = int(np.asarray(loop1(det.params, one)))
+    t0 = time.perf_counter()
+    _ = int(np.asarray(loop1(det.params, one)))
+    lat_ms = (time.perf_counter() - t0) / iters * 1000.0
+
     baseline = 5000.0  # BASELINE.md north-star target
     print(json.dumps({
         "metric": "448x448_images_per_sec_per_chip_fwd_decode_nms",
@@ -58,6 +75,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
         "extra": {"batch": batch, "amortized_ms_per_frame": round(p50_ms, 4),
+                  "p50_single_frame_ms": round(lat_ms, 3),
                   "device": str(jax.devices()[0])},
     }))
 

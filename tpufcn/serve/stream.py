@@ -203,3 +203,25 @@ def replay(node: DetectorNode, frames: Sequence[np.ndarray],
         bus.publish(image_topic, f, stamp=float(i))
         bus.spin_once()
     return node.processed
+
+
+def replay_throughput(detector: Detector,
+                      frames: Sequence[np.ndarray],
+                      micro_batch: int = 32) -> dict:
+    """Batched stream throughput: frames grouped into micro-batches
+    through the single-dispatch pipeline (the production serving shape of
+    the bag-replay mode).  Returns fps and per-frame latency stats."""
+    import time
+    n = len(frames)
+    stack = np.stack(frames)
+    # warm/compile
+    _ = np.asarray(detector(stack[:micro_batch]).valid)
+    t0 = time.perf_counter()
+    results = 0
+    for i in range(0, n - micro_batch + 1, micro_batch):
+        res = detector(stack[i:i + micro_batch])
+        results += int(np.asarray(res.valid).shape[0])
+    dt = time.perf_counter() - t0
+    return {"frames": results, "seconds": dt,
+            "fps": results / dt if dt > 0 else 0.0,
+            "ms_per_frame": dt / max(results, 1) * 1e3}

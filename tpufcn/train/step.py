@@ -138,6 +138,68 @@ def make_train_step(model,
     )
 
 
+def make_multi_train_step(model,
+                          cfg: TrainConfig,
+                          mesh: Optional[Mesh] = None,
+                          with_seg: bool = False,
+                          preprocessing: str = "demean") -> Callable:
+    """N train steps per dispatch: (state, stacked_batch) -> (state, metrics).
+
+    ``stacked_batch`` leaves have a leading steps axis (N, B, ...); a
+    ``lax.scan`` consumes one slice per step on device.  Amortizes
+    per-dispatch overhead (hundreds of param-leaf handles per call —
+    pathological through remote-TPU tunnels, non-trivial everywhere).
+    Metrics come back stacked (N,) per key.
+    """
+    grid = cfg.grid
+
+    def loss_fn(params, batch, dropout_rng):
+        img = batch["image"]
+        if preprocessing == "demean":
+            from tpufcn.ops.image import demean_bgr
+            img = demean_bgr(img)
+        else:
+            img = jnp.asarray(img, jnp.float32)
+        out = model.apply(params, img, train=True,
+                          rngs={"dropout": dropout_rng})
+        glabels = encode_grid_labels_batch(
+            batch["rects"], batch["labels"], batch["valid"], grid)
+        seg_labels = batch.get("seg") if with_seg else None
+        return detectnet_loss(
+            out, glabels,
+            bbox_weight=cfg.bbox_loss_weight,
+            coverage_weight=cfg.coverage_loss_weight,
+            seg_labels=seg_labels,
+            seg_weight=cfg.seg_loss_weight)
+
+    def multi(state: TrainState, stacked_batch):
+        def body(st, batch):
+            rng, new_rng = jax.random.split(st.dropout_rng)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                st.params, batch, rng)
+            return st.apply_gradients(grads=grads, dropout_rng=new_rng), \
+                metrics
+        return jax.lax.scan(body, state, stacked_batch)
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    bsh = batch_sharding(mesh)
+    keys = ["image", "rects", "labels", "valid"] + (
+        ["seg"] if with_seg else [])
+    # stacked batches: steps axis replicated, inner axes as batch_sharding
+    stacked = {k: NamedSharding(mesh, P(None, *bsh[k].spec)) for k in keys}
+    return jax.jit(multi, in_shardings=(repl, stacked),
+                   out_shardings=(repl, repl), donate_argnums=0)
+
+
+def stack_batches(batches):
+    """[{k: (B, ...)}] -> {k: (N, B, ...)} for multi-step dispatch."""
+    import numpy as np
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches]) for k in keys}
+
+
 def init_state(model, cfg: TrainConfig, sample_image_shape,
                rng_seed: int = 0) -> TrainState:
     rng = jax.random.key(rng_seed)

@@ -66,10 +66,12 @@ class Trainer:
                  model=None,
                  mesh=None,
                  with_seg: bool = False,
+                 steps_per_dispatch: int = 1,
                  log_sink: Callable[[str], None] = print):
         self.cfg = cfg
         self.model = model or build_model(cfg.model)
         self.with_seg = with_seg
+        self.steps_per_dispatch = max(steps_per_dispatch, 1)
         if mesh is None and cfg.mesh.num_devices > 1:
             mesh = make_mesh(cfg.mesh)
         self.mesh = mesh
@@ -78,9 +80,15 @@ class Trainer:
             preprocessing = get_spec(cfg.model).preprocessing
         except KeyError:
             preprocessing = "demean"
-        self.step_fn = make_train_step(self.model, cfg, mesh=mesh,
-                                       with_seg=with_seg,
-                                       preprocessing=preprocessing)
+        if self.steps_per_dispatch > 1:
+            from tpufcn.train.step import make_multi_train_step
+            self.step_fn = make_multi_train_step(
+                self.model, cfg, mesh=mesh, with_seg=with_seg,
+                preprocessing=preprocessing)
+        else:
+            self.step_fn = make_train_step(self.model, cfg, mesh=mesh,
+                                           with_seg=with_seg,
+                                           preprocessing=preprocessing)
         self._shardings = batch_sharding(mesh) if mesh is not None else None
         self.logger = MetricLogger(cfg.log_every, sink=log_sink)
         self.ckpt_dir = os.path.abspath(cfg.snapshot_dir)
@@ -138,13 +146,29 @@ class Trainer:
             state = self.restore_latest(state)
         start = int(state.step)
 
+        n_multi = self.steps_per_dispatch
+        pending = []
         for batch in batches:
             if int(state.step) >= max_iter:
                 break
-            b = self.put(batch)
-            bs = batch["image"].shape[0]
-            state, metrics = self.step_fn(state, b)
-            self.logger.update(int(state.step), metrics, bs)
+            if n_multi > 1:
+                pending.append(batch)
+                if len(pending) < n_multi:
+                    continue
+                from tpufcn.train.step import stack_batches
+                stacked = stack_batches(pending)
+                bs = pending[0]["image"].shape[0]
+                pending = []
+                b = self.put(stacked)
+                state, metrics = self.step_fn(state, b)
+                # metrics come back stacked (N,); log the last step
+                last = {k: v[-1] for k, v in metrics.items()}
+                self.logger.update(int(state.step), last, bs * n_multi)
+            else:
+                b = self.put(batch)
+                bs = batch["image"].shape[0]
+                state, metrics = self.step_fn(state, b)
+                self.logger.update(int(state.step), metrics, bs)
             if cfg.snapshot_every and int(state.step) % cfg.snapshot_every == 0:
                 self.save(state)
         if int(state.step) > start:
