@@ -83,3 +83,23 @@ def test_convert_rejects_shape_mismatch(tmp_path, rng):
     import pytest
     with pytest.raises(ValueError, match="shape mismatch"):
         convert_caffemodel(params, p)
+
+
+def test_vgg_ilsvrc_name_mapping(tmp_path, rng):
+    """The reference fine-tunes from VGG16 ILSVRC weights
+    (train/bounding_box/train.sh --weights); those caffemodels use bare
+    layer names (conv1_1 ...) that must suffix-match our backbone paths."""
+    import jax
+    import jax.numpy as jnp
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    blob = rng.standard_normal((64, 3, 3, 3), dtype=np.float32)
+    bias = rng.standard_normal(64, dtype=np.float32)
+    p = str(tmp_path / "vgg.caffemodel")
+    write_caffemodel(p, {"conv1_1": [blob, bias]})
+    out = convert_caffemodel(params, p, strict=True)
+    got = np.asarray(out["params"]["backbone"]["conv1_1"]["conv"]["kernel"])
+    np.testing.assert_array_equal(got, conv_blob_to_hwio(blob))
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["backbone"]["conv1_1"]["conv"]["bias"]),
+        bias)

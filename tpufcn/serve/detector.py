@@ -137,9 +137,7 @@ class Detector:
         else:
             dec_grid = grid
 
-        K = min(cfg.candidate_capacity,
-                min(self.config.candidate_capacity, 10**9))
-        K = min(K, dec_grid.grid_h * dec_grid.grid_w)
+        K = min(cfg.candidate_capacity, dec_grid.grid_h * dec_grid.grid_w)
 
         def per_image(cvg_i, bbox_i):
             boxes, cvg, valid = decode_gridboxes(
