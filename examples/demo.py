@@ -69,7 +69,9 @@ def main():
         max_iter=args.steps, snapshot_every=0,
         snapshot_dir=os.path.join(args.out, "snap"), log_every=20)
     model = build("vgg_detectnet_train", dtype=jnp.bfloat16, num_classes=1)
-    trainer = Trainer(cfg, model=model)
+    # 4 steps per dispatch: amortizes per-dispatch overhead (dominant
+    # through the remote-TPU tunnel; see CLAUDE.md)
+    trainer = Trainer(cfg, model=model, steps_per_dispatch=4)
     pipe = CompositeTrainPipeline(samples, grid,
                                   DataConfig(batch_size=args.batch),
                                   box_capacity=4, seed=1)
@@ -84,16 +86,34 @@ def main():
     out_dir = os.path.join(args.out, "detections")
     os.makedirs(out_dir, exist_ok=True)
     test_pipe = CompositeTrainPipeline(samples, grid,
-                                       DataConfig(batch_size=4),
+                                       DataConfig(batch_size=8),
                                        box_capacity=4, seed=99)
-    batch = test_pipe.batch(4)
+    batch = test_pipe.batch(8)
     results = det(batch["image"])
-    for i, dets in enumerate(results.to_lists()):
+    for i, dets in enumerate(results.to_lists()[:4]):
         overlay = draw_detections(batch["image"][i], dets, names=["object"])
         path = os.path.join(out_dir, f"det{i}.png")
         cv.imwrite(path, overlay)
         print(f"{path}: {len(dets)} detections "
               + str([d[0] for d in dets]))
+
+    # held-out mAP on fresh composite scenes
+    from tpufcn.train.evaluate import evaluate_detections
+    dets_all, gts = [], []
+    res_lists = results.to_lists()
+    for i in range(batch["image"].shape[0]):
+        items = res_lists[i]
+        boxes = np.asarray([b for b, _, _ in items], np.float64).reshape(-1, 4)
+        labels = np.asarray([l for _, l, _ in items], np.int64)
+        scores = np.asarray([c for _, _, c in items], np.float64)
+        dets_all.append((boxes, labels, scores))
+        v = batch["valid"][i]
+        r = batch["rects"][i][v]
+        corners = np.concatenate([r[:, :2], r[:, :2] + r[:, 2:4]], axis=1)
+        gts.append((corners, batch["labels"][i][v]))
+    ev = evaluate_detections(gts, dets_all, num_classes=1, iou_thresh=0.5)
+    print(f"held-out mAP@0.5: {ev['mAP']:.3f} over "
+          f"{batch['image'].shape[0]} composite frames")
 
 
 if __name__ == "__main__":

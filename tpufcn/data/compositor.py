@@ -222,14 +222,23 @@ class Compositor:
                  iou_thresh: float = 0.05,
                  max_trials: int = 100,
                  scale_range: Tuple[float, float] = (1.0, 2.2),
-                 imread=cv.imread):
+                 imread=cv.imread,
+                 cache_images: int = 256):
         if not samples:
             raise ValueError("empty compositor dataset")
         self.samples = list(samples)
         self.iou_thresh = iou_thresh
         self.max_trials = max_trials
         self.scale_range = scale_range
-        self.imread = imread
+        self._raw_imread = imread
+        if cache_images:
+            # decode-once cache: the reference re-imreads every paste
+            # (argumentation_engine.py:671-672), which dominates host time
+            import functools
+            self.imread = functools.lru_cache(maxsize=cache_images)(
+                lambda p: imread(p))
+        else:
+            self.imread = imread
 
     def compose(self, num_proposals: int, background: np.ndarray,
                 rng: np.random.Generator,
