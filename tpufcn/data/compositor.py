@@ -248,10 +248,12 @@ class Compositor:
         img_out = background.copy()
         mask_out = (base_mask.copy() if base_mask is not None
                     else np.zeros((im_y, im_x), np.uint8))
+        # `placed` drives overlap rejection (and includes the caller's
+        # base_rect, as the reference seeds flag_position with mrect);
+        # `rects`/`labels` report only the pasted objects, kept aligned.
         placed: List = [list(base_rect)] if base_rect is not None else []
-        rects, labels = list(placed), []
-        if base_rect is not None:
-            labels = []  # base rect has no label in the reference either
+        rects: List = []
+        labels: List = []
 
         for _ in range(num_proposals):
             s = self.samples[int(rng.integers(0, len(self.samples)))]

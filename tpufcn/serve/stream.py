@@ -86,7 +86,6 @@ class TiledSegmenter:
         self._fwd = jax.jit(self._fwd_impl)
 
     def _fwd_impl(self, params, tiles):
-        from tpufcn.ops.image import demean_bgr
         x = jax.image.resize(
             tiles.astype(jnp.float32),
             (tiles.shape[0], self.grid.im_height, self.grid.im_width, 3),
