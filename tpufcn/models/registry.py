@@ -110,6 +110,23 @@ register("fcn8s_bbox", ModelSpec(
     heads=("coverage", "bboxes", "seg"),
     reference="train/fcn_bbox/train_val.prototxt",
 ))
+# --- Modern backbone swap (BASELINE config #5) ----------------------------
+register("resnet_fpn_detectnet", ModelSpec(
+    factory=lambda dtype=jnp.bfloat16, **kw: _resnet_fpn(dtype, **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=4),
+    preprocessing="shift127",   # model normalizes internally from raw BGR
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="(new design — no reference prototxt)",
+))
+
+
+def _resnet_fpn(dtype, **kw):
+    from tpufcn.models.resnet_fpn import ResNetFPNDetectNet
+    return ResNetFPNDetectNet(num_classes=kw.pop("num_classes", 4),
+                              dtype=dtype, **kw)
+
+
 register("fcn32s_seg", ModelSpec(
     factory=lambda dtype=jnp.bfloat16, **kw: FCN32sSeg(
         num_classes=kw.pop("num_classes", 12), dtype=dtype, **kw),
