@@ -110,3 +110,25 @@ def test_demean_bgr_reference_semantics(rng):
     want = (x - x.min()) / (x.max() - x.min())
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert got.min() == 0.0 and abs(got.max() - 1.0) < 1e-6
+
+
+def test_demean_bgr_constant_frame_no_nan():
+    # A frame whose demeaned values are constant (min == max) must map to
+    # zeros, not NaN (the reference divides by zero at
+    # fcn_object_detector.py:412).
+    from tpufcn.core.config import IMAGENET_BGR_MEAN
+    img = jnp.broadcast_to(jnp.asarray(IMAGENET_BGR_MEAN, jnp.float32),
+                           (16, 16, 3))
+    got = np.asarray(demean_bgr(img))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_demean_host_constant_frame_no_nan():
+    from tpufcn.core.config import IMAGENET_BGR_MEAN
+    from tpufcn.serve.stream import _demean_host
+    img = np.broadcast_to(np.asarray(IMAGENET_BGR_MEAN, np.float32),
+                          (8, 8, 3)).copy()
+    got = _demean_host(img)
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, 0.0)

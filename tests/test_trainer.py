@@ -70,3 +70,26 @@ def test_trainer_metrics_finite(tmp_path, tiny_dataset):
     hist = tr.logger.history
     assert len(hist) == 2
     assert all(np.isfinite(h["loss_total"]) for h in hist)
+
+
+def test_trainer_multistep_snapshot_cadence(tmp_path, tiny_dataset):
+    # steps_per_dispatch=2 never lands exactly on snapshot_every=3; a
+    # snapshot must still be taken when the cadence boundary is crossed
+    # (step 4 crosses the 3-boundary), not only at the final save.
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=2),
+        snapshot_every=3, max_iter=6,
+        snapshot_dir=str(tmp_path / "snap_multi"),
+        log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    tr = Trainer(cfg, model=model, steps_per_dispatch=2,
+                 log_sink=lambda s: None)
+    pipe = CompositeTrainPipeline(tiny_dataset, grid,
+                                  DataConfig(batch_size=2), box_capacity=4)
+    state = tr.fit(iter(pipe), max_iter=6)
+    assert int(state.step) == 6
+    steps = sorted(tr._mgr.all_steps())
+    assert 4 in steps, f"mid-run snapshot missing: {steps}"
+    assert 6 in steps

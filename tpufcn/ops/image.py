@@ -33,7 +33,9 @@ def demean_bgr(img: jax.Array) -> jax.Array:
     out = img - mean  # broadcasts over trailing channel axis
     lo = jnp.min(out, axis=(-3, -2, -1), keepdims=True)
     hi = jnp.max(out, axis=(-3, -2, -1), keepdims=True)
-    return (out - lo) / (hi - lo)
+    # Constant frame (hi == lo) maps to all-zeros instead of NaN — the
+    # reference would divide by zero here (fcn_object_detector.py:412).
+    return (out - lo) / jnp.maximum(hi - lo, jnp.finfo(jnp.float32).tiny)
 
 
 def resize_bilinear(img: jax.Array, size: Tuple[int, int]) -> jax.Array:

@@ -129,7 +129,9 @@ def _demean_host(img: np.ndarray) -> np.ndarray:
     x[:, :, 0] -= np.float32(104.0069879317889)
     x[:, :, 1] -= np.float32(116.66876761696767)
     x[:, :, 2] -= np.float32(122.6789143406786)
-    return (x - x.min()) / (x.max() - x.min())
+    span = x.max() - x.min()
+    # constant tile -> zeros, not NaN (black frames happen on real buses)
+    return (x - x.min()) / (span if span > 0 else np.float32(1.0))
 
 
 class DetectorNode:

@@ -148,6 +148,7 @@ class Trainer:
 
         n_multi = self.steps_per_dispatch
         pending = []
+        last_snap = start
         for batch in batches:
             if int(state.step) >= max_iter:
                 break
@@ -169,8 +170,15 @@ class Trainer:
                 bs = batch["image"].shape[0]
                 state, metrics = self.step_fn(state, b)
                 self.logger.update(int(state.step), metrics, bs)
-            if cfg.snapshot_every and int(state.step) % cfg.snapshot_every == 0:
+            # Snapshot whenever a cadence boundary was CROSSED since the
+            # last snapshot — with steps_per_dispatch > 1 the step counter
+            # advances by N at a time and may never land exactly on a
+            # multiple of snapshot_every.
+            if (cfg.snapshot_every and
+                    int(state.step) // cfg.snapshot_every
+                    > last_snap // cfg.snapshot_every):
                 self.save(state)
+                last_snap = int(state.step)
         if int(state.step) > start:
             self.save(state)
         return state
