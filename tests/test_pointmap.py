@@ -95,3 +95,37 @@ def test_pointmap_node_on_bus(lib, rng):
     assert node.processed == 1
     assert "pts" in got and got["pts"].shape[1] == 3
     assert "idx" in got and len(got["idx"]) >= 1
+
+
+def test_fused_mask_polarity(lib):
+    """Pin both fused-mask polarities (PARITY.md "Known deviations").
+
+    Two object-mask regions; the probability map confirms only one.
+    tpufcn default (keep_matched=True) clusters the CONFIRMED region;
+    keep_matched=False reproduces the reference XOR complement
+    (reference src/fcn_point_map_node.cpp:57-92): points come from the
+    UNMATCHED remainder.
+    """
+    h, w = 60, 100
+    cloud = np.zeros((h, w, 3), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    cloud[..., 0] = xs * 0.01
+    cloud[..., 1] = ys * 0.01
+    cloud[..., 2] = 1.0
+    mask = np.zeros((h, w), np.uint8)
+    mask[10:40, 5:40] = 220    # region A (matched by pmap)
+    mask[10:40, 60:95] = 220   # region B (no pmap support)
+    pmap = np.zeros((h, w), np.uint8)
+    pmap[12:38, 7:38] = 200
+
+    labels, k = lib.process(cloud, mask, pmap, cluster_tol=0.03,
+                            min_cluster=100, keep_matched=True)
+    assert k == 1
+    sel = labels >= 0
+    assert sel[:, :40].sum() >= 900 and sel[:, 60:].sum() == 0
+
+    labels, k = lib.process(cloud, mask, pmap, cluster_tol=0.03,
+                            min_cluster=100, keep_matched=False)
+    assert k == 1
+    sel = labels >= 0
+    assert sel[:, 60:].sum() >= 900 and sel[:, :40].sum() == 0

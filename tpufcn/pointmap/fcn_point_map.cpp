@@ -240,17 +240,30 @@ int fcn_point_map_process(const float* cloud, const uint8_t* mask,
                           const uint8_t* pmap, int h, int w,
                           float cluster_tol, int min_cluster,
                           int max_cluster, int area_thresh,
-                          int* labels_out) {
+                          int keep_matched, int* labels_out) {
   using tpufcn::Rect;
   const int n = h * w;
   // regionMask on both images (reference callback :50-54)
   auto prects = tpufcn::region_mask(pmap, h, w, area_thresh);
   auto orects = tpufcn::region_mask(mask, h, w, area_thresh);
 
-  // IoU(orects x prects) > 0 -> copy the object-mask region into the
-  // fused mask; XOR removes doubly-claimed pixels (reference :57-71).
-  std::vector<uint8_t> fused(n, 0);
+  // Fused-mask polarity (see PARITY.md "Known deviations"):
+  //   keep_matched=1 (default) — gather points from obj-mask regions that
+  //     DO intersect a probability-map region (the detector-confirmed
+  //     objects).
+  //   keep_matched=0 — reference polarity: the reference copies matched
+  //     regions into im_mask then cv::bitwise_xor(im_mask, obj_mask)
+  //     (reference :57-71), cancelling matched regions so points come
+  //     from the UNMATCHED remainder of the object mask.  (The reference
+  //     scans each rect from the image origin — a bug — here regions are
+  //     rect-local.)
+  // Both start from the Otsu-thresholded object mask; XOR within matched
+  // rects either builds (1) or cancels (0) those regions.
   int o_thresh = tpufcn::otsu_threshold(mask, n);
+  std::vector<uint8_t> fused(n, 0);
+  if (!keep_matched) {
+    for (int i = 0; i < n; ++i) fused[i] = mask[i] > o_thresh ? 255 : 0;
+  }
   for (const Rect& orc : orects) {
     bool hit = false;
     for (const Rect& prc : prects) {

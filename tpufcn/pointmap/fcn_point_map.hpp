@@ -54,13 +54,17 @@ extern "C" {
 //   cloud:  organized (h*w*3) float xyz, NaN = invalid
 //   mask:   (h*w) object mask image
 //   pmap:   (h*w) probability-map image
+//   keep_matched: fused-mask polarity — 1 gathers points from obj-mask
+//     regions matched by a pmap region (tpufcn default); 0 reproduces the
+//     reference's XOR complement (points from the UNMATCHED remainder;
+//     reference src/fcn_point_map_node.cpp:57-92).  See PARITY.md.
 //   labels_out: (h*w) int32 cluster id per pixel (-1 = none)
 // Returns the number of clusters (or -1 on error).
 int fcn_point_map_process(const float* cloud, const uint8_t* mask,
                           const uint8_t* pmap, int h, int w,
                           float cluster_tol, int min_cluster,
                           int max_cluster, int area_thresh,
-                          int* labels_out);
+                          int keep_matched, int* labels_out);
 
 // Standalone pieces (testing / reuse).
 int fcn_otsu(const uint8_t* img, int n);

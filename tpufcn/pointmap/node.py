@@ -76,8 +76,15 @@ class PointMapLib:
     def process(self, cloud: np.ndarray, mask: np.ndarray,
                 pmap: np.ndarray, cluster_tol: float = 0.02,
                 min_cluster: int = 100, max_cluster: int = 25000,
-                area_thresh: int = 400):
-        """Full fused pipeline; returns (labels (H, W) int32, n_clusters)."""
+                area_thresh: int = 400, keep_matched: bool = True):
+        """Full fused pipeline; returns (labels (H, W) int32, n_clusters).
+
+        ``keep_matched=True`` (default) clusters points from object-mask
+        regions CONFIRMED by the probability map; ``False`` reproduces the
+        reference's XOR-complement polarity (points from the unmatched
+        remainder — reference src/fcn_point_map_node.cpp:57-92; see
+        PARITY.md "Known deviations").
+        """
         h, w = mask.shape[:2]
         cloud = np.ascontiguousarray(cloud, np.float32)
         mask = np.ascontiguousarray(mask, np.uint8)
@@ -88,7 +95,7 @@ class PointMapLib:
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             pmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             h, w, ctypes.c_float(cluster_tol), min_cluster, max_cluster,
-            area_thresh,
+            area_thresh, int(keep_matched),
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return labels, k
 
@@ -108,12 +115,14 @@ class PointMapNode:
                  min_cluster: int = 100,
                  max_cluster: int = 25000,
                  area_thresh: int = 400,
+                 keep_matched: bool = True,
                  slop: float = 0.1):
         self.bus = bus
         self.lib = lib or PointMapLib()
         self.points_topic = points_topic
         self.indices_topic = indices_topic
-        self.params = (cluster_tol, min_cluster, max_cluster, area_thresh)
+        self.params = (cluster_tol, min_cluster, max_cluster, area_thresh,
+                       keep_matched)
         self.processed = 0
         ApproximateTimeSynchronizer(
             bus, [cloud_topic, mask_topic, pmap_topic, coef_topic],
