@@ -22,6 +22,38 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tests that compile large graphs on this 1-core host (>~20 s each).
+# ``-m "not slow"`` is the fast tier (~3-4 min); the full suite ~17 min.
+_SLOW = {
+    "test_cli_launch.py::test_launch_graph_detector",
+    "test_cli_launch.py::test_cli_detect_inprocess",
+    "test_e2e_train_detect.py::test_train_snapshot_serve_roundtrip",
+    "test_detector_parity.py::test_detector_rescale_truncation",
+    "test_detector_parity.py::test_detector_matches_golden_flow",
+    "test_multi_step.py::test_trainer_steps_per_dispatch",
+    "test_multi_step.py::test_multi_step_matches_sequential",
+    "test_train_step.py::test_train_step_sharded_mesh",
+    "test_resnet_fpn.py::test_train_step",
+    "test_resnet_fpn.py::test_shapes_and_contract",
+    "test_resnet_fpn.py::test_serves_through_detector",
+    "test_detector.py::test_detector_finds_planted_object",
+    "test_detector.py::test_detector_end_to_end_smoke",
+    "test_bus_stream.py::test_detector_node_replay",
+    "test_bus_stream.py::test_tiled_segmenter",
+    "test_convert.py::test_googlenet_full_roundtrip",
+    "test_trainer.py::test_trainer_fit_and_resume",
+    "test_trainer.py::test_trainer_multistep_snapshot_cadence",
+    "test_misc_coverage.py::test_cli_eval",
+    "test_launch_integration.py::test_detector_and_pointmap_graph",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
