@@ -82,7 +82,9 @@ class FCN32sSeg(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         taps = VGG16Backbone(dtype=self.dtype, name="backbone")(x)
-        s = conv_relu(taps["conv5_3"], self.num_classes, 1, name="score_fr",
+        # Caffe layer name "score_fr_6" (top blob "score_fr") — the module
+        # uses the LAYER name so .caffemodel blobs map 1:1.
+        s = conv_relu(taps["conv5_3"], self.num_classes, 1, name="score_fr_6",
                       relu=False, dtype=self.dtype).astype(jnp.float32)
         seg = upsample_bilinear_caffe(s, 32, 16, 8)           # full res
         return {"seg": seg, "score": nn.softmax(seg, axis=-1)}
