@@ -5,17 +5,115 @@ groupRectangles NMS -> rescale), matching the BASELINE.md target
 (>= 5000 img/s/chip on TPU v5e).
 
 The headline number uses the Caffe-parity flagship (GoogLeNet
-DetectNet, faithful LRN/5x5/stride structure).  The modern-backbone
-swap (resnet_fpn_detectnet, BASELINE config #5) is also measured and
-reported in "extra" — it exceeds the 5k target.
+DetectNet, faithful LRN/5x5/stride structure) in its serving
+configuration (fp8 activation storage for the two pool/elementwise-fed
+stem tensors; all compute bf16 — see models/googlenet.py store_dtype).
+Extras report the exact-bf16 number, the modern-backbone swap
+(resnet_fpn_detectnet, BASELINE config #5), single-frame p50 latency,
+and a synthetic-dataset mAP tracked for BASELINE.md row 3 — measured
+for BOTH the exact and the fp8-serving model so the serving mode's
+accuracy parity is on record.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+ITERS = 20
+
+
+def _time_loop(infer, params, frames, iters=ITERS, reps=3):
+    """On-device lax.scan loop with a chained data dependency; host-side
+    per-dispatch timing is unreliable through the remote-TPU tunnel
+    (see CLAUDE.md), so one dispatch covers `iters` full passes and a
+    final value fetch forces completion.  Min over reps."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(p, f):
+        def body(c, _):
+            out = infer(p, f + c)
+            return (out.boxes.sum() % 2).astype(jnp.uint8), None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
+                            length=iters)
+        return c
+
+    _ = int(np.asarray(loop(params, frames)))  # compile + warm (value fetch)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = int(np.asarray(loop(params, frames)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _map_synthetic(steps=120, batch=16):
+    """Brief flagship train on the synthetic compositing dataset, then
+    held-out mAP@0.5 with the exact and fp8-serving detectors."""
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from demo import make_dataset
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.data import CompositeTrainPipeline, prefetch
+    from tpufcn.models import build
+    from tpufcn.serve.detector import Detector
+    from tpufcn.train.evaluate import evaluate_detections
+    from tpufcn.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    root = "/tmp/tpufcn_bench_map"
+    samples = make_dataset(os.path.join(root, "data"), rng)
+    grid = GridConfig(im_width=224, im_height=224, stride=16, num_classes=1)
+    cfg = TrainConfig(
+        grid=grid, model="googlenet_detectnet_1cls",
+        data=DataConfig(batch_size=batch),
+        optimizer="adam", learning_rate=3e-4, lr_decay_step=0,
+        max_iter=steps, snapshot_every=0,
+        snapshot_dir=os.path.join(root, "snap"), log_every=1000)
+    model = build("googlenet_detectnet_1cls", dtype=jnp.bfloat16)
+    trainer = Trainer(cfg, model=model, steps_per_dispatch=4,
+                      log_sink=lambda s: None)
+    pipe = CompositeTrainPipeline(samples, grid, DataConfig(batch_size=batch),
+                                  box_capacity=4, seed=1)
+    state = trainer.fit(prefetch(iter(pipe), depth=4), max_iter=steps,
+                        resume=False)
+
+    test_pipe = CompositeTrainPipeline(samples, grid,
+                                       DataConfig(batch_size=16),
+                                       box_capacity=4, seed=99)
+    tb = test_pipe.batch(16)
+    gts = []
+    for i in range(tb["image"].shape[0]):
+        v = tb["valid"][i]
+        r = tb["rects"][i][v]
+        corners = np.concatenate([r[:, :2], r[:, :2] + r[:, 2:4]], axis=1)
+        gts.append((corners, tb["labels"][i][v]))
+
+    maps = {}
+    for tag, kw in (("exact", {}),
+                    ("fp8", {"store_dtype": jnp.float8_e4m3fn})):
+        det = Detector("googlenet_detectnet_1cls", dtype=jnp.bfloat16,
+                       max_candidates=128, model_kwargs=kw)
+        det.params = state.params
+        res = det(tb["image"]).to_lists()
+        dets_all = []
+        for items in res:
+            boxes = np.asarray([b for b, _, _ in items],
+                               np.float64).reshape(-1, 4)
+            labels = np.asarray([l for _, l, _ in items], np.int64)
+            scores = np.asarray([c for _, _, c in items], np.float64)
+            dets_all.append((boxes, labels, scores))
+        ev = evaluate_detections(gts, dets_all, num_classes=1,
+                                 iou_thresh=0.5)
+        maps[tag] = round(float(ev["mAP"]), 4)
+    return maps
 
 
 def main():
@@ -23,74 +121,32 @@ def main():
     import jax.numpy as jnp
     from tpufcn.serve.detector import Detector
 
-    batch, iters = 128, 20
-
-    det = Detector("googlenet_detectnet", dtype=jnp.bfloat16,
-                   max_candidates=256)
-    infer = det._infer_impl
-
+    batch = 128
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 256, size=(batch, 448, 448, 3)).astype(np.uint8))
 
-    # Measurement methodology: host-side per-dispatch timing is unreliable
-    # through the remote-TPU tunnel (block_until_ready can return early and
-    # each dispatch pays RTT).  Instead the iteration loop runs ON DEVICE
-    # via lax.scan with a data dependency chaining iterations, and a final
-    # scalar host fetch forces completion — one dispatch, `iters` full
-    # pipeline passes, nothing can be elided.
-    @jax.jit
-    def loop(params, f):
-        def body(carry, _):
-            out = infer(params, f + carry)
-            return (out.boxes.sum() % 2).astype(jnp.uint8), None
-        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
-                                length=iters)
-        return carry
+    # headline: serving configuration (fp8 stem activation storage)
+    det = Detector("googlenet_detectnet", dtype=jnp.bfloat16,
+                   max_candidates=256,
+                   model_kwargs={"store_dtype": jnp.float8_e4m3fn})
+    dt = _time_loop(det._infer_impl, det.params, frames)
+    imgs_per_sec = batch / dt
 
-    _ = int(np.asarray(loop(det.params, frames)))  # compile + warm
-    t0 = time.perf_counter()
-    _ = int(np.asarray(loop(det.params, frames)))
-    dt = time.perf_counter() - t0
+    # exact bf16 parity configuration
+    det_x = Detector("googlenet_detectnet", dtype=jnp.bfloat16,
+                     max_candidates=256, params=det.params)
+    exact_ips = batch / _time_loop(det_x._infer_impl, det_x.params, frames)
 
-    imgs_per_sec = batch * iters / dt
-    p50_ms = dt / iters / batch * 1000.0  # per-frame amortized
-
-    # single-frame (batch 1) device latency, same on-device-loop method
-    one = frames[:1]
-
-    @jax.jit
-    def loop1(params, f):
-        def body(carry, _):
-            out = infer(params, f + carry)
-            return (out.boxes.sum() % 2).astype(jnp.uint8), None
-        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
-                                length=iters)
-        return carry
-
-    _ = int(np.asarray(loop1(det.params, one)))
-    t0 = time.perf_counter()
-    _ = int(np.asarray(loop1(det.params, one)))
-    lat_ms = (time.perf_counter() - t0) / iters * 1000.0
+    # single-frame (batch 1) device latency
+    lat_ms = _time_loop(det._infer_impl, det.params, frames[:1]) * 1000.0
 
     # modern-backbone swap (BASELINE config #5)
     det_r = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
                      max_candidates=256)
-    infer_r = det_r._infer_impl
+    resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
 
-    @jax.jit
-    def loop_r(params, f):
-        def body(carry, _):
-            out = infer_r(params, f + carry)
-            return (out.boxes.sum() % 2).astype(jnp.uint8), None
-        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
-                                length=iters)
-        return carry
-
-    _ = int(np.asarray(loop_r(det_r.params, frames)))
-    t0 = time.perf_counter()
-    _ = int(np.asarray(loop_r(det_r.params, frames)))
-    resnet_ips = batch * iters / (time.perf_counter() - t0)
+    maps = _map_synthetic()
 
     baseline = 5000.0  # BASELINE.md north-star target
     print(json.dumps({
@@ -98,9 +154,13 @@ def main():
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-        "extra": {"batch": batch, "amortized_ms_per_frame": round(p50_ms, 4),
+        "extra": {"batch": batch,
+                  "mode": "fp8_stem_activation_storage",
+                  "exact_bf16_img_per_sec": round(exact_ips, 1),
                   "p50_single_frame_ms": round(lat_ms, 3),
                   "resnet_fpn_img_per_sec": round(resnet_ips, 1),
+                  "map_synthetic": maps["exact"],
+                  "map_synthetic_fp8": maps["fp8"],
                   "device": str(jax.devices()[0])},
     }))
 

@@ -61,3 +61,23 @@ def test_detector_finds_planted_object(rng):
 
 
 import jax  # noqa: E402  (used inside test body)
+
+
+def test_fp8_serving_mode_agrees_with_exact(rng):
+    """store_dtype=f8e4m3 serving mode: coverage maps stay close to the
+    exact bf16 model and the detector pipeline runs end to end."""
+    import jax.numpy as jnp
+    from tpufcn.serve.detector import Detector
+    base = Detector("googlenet_detectnet_1cls", dtype=jnp.bfloat16,
+                    max_candidates=64)
+    fast = Detector("googlenet_detectnet_1cls", dtype=jnp.bfloat16,
+                    max_candidates=64, params=base.params,
+                    model_kwargs={"store_dtype": jnp.float8_e4m3fn})
+    frames = rng.integers(0, 256, (2, 448, 448, 3)).astype(np.uint8)
+    x = jnp.asarray(frames)
+    a = base.model.apply(base.params, x)["coverage"]
+    b = fast.model.apply(fast.params, x)["coverage"]
+    # sigmoid outputs: fp8 activation storage drifts by a few percent
+    assert float(jnp.abs(a - b).mean()) < 0.05
+    r = fast(frames)
+    assert r.boxes.shape[0] == 2

@@ -76,3 +76,15 @@ def test_stem_tail_multi_stripe_seams(rng):
     for row in (13, 14, 27, 28, 41, 42, 55):  # stripe seams + ceil edge
         np.testing.assert_allclose(got[0, row], ref[0, row], atol=0.26,
                                    err_msg=f"row {row}")
+
+
+@pytest.mark.parametrize("shape", [(2, 112, 112, 192), (1, 32, 32, 64)])
+def test_lrn_maxpool_kernel_exact(rng, shape):
+    """Fused LRN+pool kernel is bit-exact vs the XLA chain it mirrors
+    (kept as a documented toolchain probe — see lrn_pool.py STATUS)."""
+    from tpufcn.ops.caffe_layers import lrn_across_channels, max_pool_caffe
+    from tpufcn.ops.pallas.lrn_pool import lrn_maxpool_pallas
+    x = jnp.asarray(rng.standard_normal(shape) * 3, jnp.bfloat16)
+    want = max_pool_caffe(lrn_across_channels(x, 5, 1e-4, 0.75), 3, 2)
+    got = lrn_maxpool_pallas(x, interpret=True)
+    assert jnp.array_equal(want, got)

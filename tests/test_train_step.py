@@ -92,3 +92,30 @@ def test_train_step_sharded_mesh(rng, mesh_shape):
     state2, metrics = step(state, b)
     assert np.isfinite(float(metrics["loss_total"]))
     assert int(state2.step) == 1
+
+
+def test_googlenet_train_step_backward():
+    """One optimizer step through the GoogLeNet stem + fused-inception
+    convs in bf16 (regression: the fused 1x1 conv and the space-to-depth
+    stem conv used a float32 accumulator whose conv-transpose this jax
+    version rejects — training the flagship crashed while vgg trained
+    fine)."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import GridConfig, TrainConfig
+    from tpufcn.models import build
+    from tpufcn.train.step import init_state, make_train_step
+
+    grid = GridConfig(im_width=64, im_height=64, stride=16, num_classes=1)
+    cfg = TrainConfig(grid=grid, model="googlenet_detectnet_1cls")
+    model = build("googlenet_detectnet_1cls", dtype=jnp.bfloat16)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, preprocessing="shift127")
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32),
+        "rects": np.tile(np.array([8., 8., 40., 40.], np.float32), (2, 2, 1)),
+        "labels": np.zeros((2, 2), np.int32),
+        "valid": np.tile(np.array([True, False]), (2, 1)),
+    }
+    state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert np.isfinite(float(metrics["loss_total"]))

@@ -38,8 +38,14 @@ def _cmd_train(args):
         cfg = dataclasses.replace(cfg, snapshot_dir=args.snapshot_dir)
 
     samples = read_mask_manifest(args.manifest)
-    pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
-                                  backgrounds=args.backgrounds)
+    if args.workers > 0:
+        from tpufcn.data.parallel import ParallelCompositePipeline
+        pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,
+                                         backgrounds=args.backgrounds,
+                                         workers=args.workers)
+    else:
+        pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
+                                      backgrounds=args.backgrounds)
     trainer = Trainer(cfg, with_seg=args.recipe in
                       ("fcn_bbox", "semantic_segmentation"))
     state = trainer.fit(iter(pipe))
@@ -161,6 +167,8 @@ def main(argv=None):
     t.add_argument("--max-iter", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--snapshot-dir", default=None)
+    t.add_argument("--workers", type=int, default=0,
+                   help="scene-builder worker processes (0 = in-process)")
     t.set_defaults(fn=_cmd_train)
 
     d = sub.add_parser("detect")

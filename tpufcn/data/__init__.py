@@ -9,6 +9,7 @@ from tpufcn.data.records import (
     RecordReader, RecordWriter, create_detection_records, read_records)
 from tpufcn.data.pipeline import (
     CompositeTrainPipeline, RecordTrainPipeline, prefetch, pad_boxes)
+from tpufcn.data.parallel import ParallelCompositePipeline
 from tpufcn.data.voc import PascalVOC, VOC_CLASSES
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "RecordReader", "RecordWriter", "create_detection_records",
     "read_records",
     "CompositeTrainPipeline", "RecordTrainPipeline", "prefetch", "pad_boxes",
+    "ParallelCompositePipeline",
     "PascalVOC", "VOC_CLASSES",
 ]

@@ -89,6 +89,7 @@ class Inception(nn.Module):
 
     n1: int; n3r: int; n3: int; n5r: int; n5: int; npp: int
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,19 +103,29 @@ class Inception(nn.Module):
             bs.append(b)
         fused_k = jnp.concatenate(ks, axis=-1).astype(self.dtype)
         fused_b = jnp.concatenate(bs).astype(self.dtype)
+        # NOTE: accumulator dtype == operand dtype (like nn.Conv): this
+        # jax version's conv transpose rejects mixed-dtype operands, so a
+        # float32 preferred_element_type would break the backward pass
+        # (TPU MXU still accumulates f32 internally for bf16 operands).
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), fused_k[None, None],
             window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
+            preferred_element_type=self.dtype).astype(self.dtype)
         y = nn.relu(y + fused_b)
         b1, b3, b5 = jnp.split(y, np.cumsum(widths)[:-1].tolist(), axis=-1)
 
         b3 = conv_relu(b3, self.n3, 3, pad=1, name="3x3", **d)
         b5 = conv_relu(b5, self.n5, 5, pad=2, name="5x5", **d)
         bp = max_pool_caffe(x, 3, 1, 1)
-        bp = conv_relu(bp, self.npp, 1, name="pool_proj", **d)
-        return jnp.concatenate([b1, b3, b5, bp], axis=-1)
+        bp = conv_relu(bp.astype(self.dtype), self.npp, 1,
+                       name="pool_proj", **d)
+        out = jnp.concatenate([b1, b3, b5, bp], axis=-1)
+        if self.store_dtype is not None:
+            # the convert rides the concat's copy fusion; consumers are a
+            # 1x1 conv prologue and max pools, both fp8-tolerant on VPU
+            out = out.astype(self.store_dtype)
+        return out
 
 
 class GoogLeNetDetectNet(nn.Module):
@@ -127,6 +138,23 @@ class GoogLeNetDetectNet(nn.Module):
     num_classes: int = 4       # coverage channels (deploy.prototxt: 4)
     dropout_rate: float = 0.4  # deploy.prototxt pool5/drop_s1
     dtype: Any = jnp.bfloat16
+    # Serving fast path: store the two stem tensors whose CONSUMERS need
+    # no expensive convert — conv1's output (read by the fp8-exact max
+    # pool1) and LRN1's output (absorbed by conv2_reduce's prologue) — in
+    # a compact dtype (jnp.float8_e4m3fn).  The stem is HBM-bandwidth
+    # bound on TPU and these are its largest tensors.  Placement is
+    # empirical (v5e has no native fp8): casting conv2/LRN2 outputs or
+    # inception block outputs makes their producing matmuls SLOWER than
+    # the bandwidth saved (convert epilogues on the VPU), so only the
+    # pool/elementwise-consumed tensors are stored compactly.  All
+    # COMPUTE stays in ``dtype`` (bf16).  None = exact bf16 parity
+    # (default; training + parity tests use this).
+    store_dtype: Any = None
+    store_blocks: bool = False  # also store inception concats compactly
+
+    def _q(self, x):
+        return x.astype(self.store_dtype) if self.store_dtype is not None \
+            else x
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -134,27 +162,31 @@ class GoogLeNetDetectNet(nn.Module):
         # deploy_transform: Power shift -127 (deploy.prototxt:9-18)
         x = (jnp.asarray(x, jnp.float32) - 127.0).astype(self.dtype)
 
-        x = nn.relu(SpaceToDepthStemConv(64, 7, 3, dtype=self.dtype,
-                                         name="conv1/7x7_s2")(x))
-        x = max_pool_caffe(x, 3, 2)                  # pool1/3x3_s2
-        x = LRN(name="pool1/norm1")(x)
-        x = conv_relu(x, 64, 1, name="conv2/3x3_reduce", **d)
+        x = self._q(nn.relu(SpaceToDepthStemConv(
+            64, 7, 3, dtype=self.dtype, name="conv1/7x7_s2")(x)))
+        x = max_pool_caffe(x, 3, 2)                  # pool1/3x3_s2 (max on
+        x = x.astype(self.dtype)                     #  fp8 is exact)
+        x = self._q(LRN(name="pool1/norm1")(x).astype(self.dtype))
+        x = conv_relu(x.astype(self.dtype), 64, 1,
+                      name="conv2/3x3_reduce", **d)
         x = conv_relu(x, 192, 3, pad=1, name="conv2/3x3", **d)
         x = LRN(name="conv2/norm2")(x)
         x = max_pool_caffe(x, 3, 2)                  # pool2/3x3_s2
 
-        x = Inception(*INCEPTION_CFG["3a"], name="inception_3a", dtype=self.dtype)(x)
-        x = Inception(*INCEPTION_CFG["3b"], name="inception_3b", dtype=self.dtype)(x)
+        blk_kw = dict(dtype=self.dtype, store_dtype=self.store_dtype
+                      if self.store_blocks else None)
+        x = Inception(*INCEPTION_CFG["3a"], name="inception_3a", **blk_kw)(x)
+        x = Inception(*INCEPTION_CFG["3b"], name="inception_3b", **blk_kw)(x)
         x = max_pool_caffe(x, 3, 2)                  # pool3/3x3_s2
         for blk in ("4a", "4b", "4c", "4d", "4e"):
             x = Inception(*INCEPTION_CFG[blk], name=f"inception_{blk}",
-                          dtype=self.dtype)(x)
+                          **blk_kw)(x)
         # NOTE: no pool between 4e and 5a — stride stays 16.
-        x = Inception(*INCEPTION_CFG["5a"], name="inception_5a", dtype=self.dtype)(x)
-        x = Inception(*INCEPTION_CFG["5b"], name="inception_5b", dtype=self.dtype)(x)
+        x = Inception(*INCEPTION_CFG["5a"], name="inception_5a", **blk_kw)(x)
+        x = Inception(*INCEPTION_CFG["5b"], name="inception_5b", **blk_kw)(x)
 
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
-                       name="pool5/drop_s1")(x)
+                       name="pool5/drop_s1")(x.astype(self.dtype))
 
         cvg = conv_relu(x, self.num_classes, 1, name="cvg/classifier",
                         relu=False, **d)

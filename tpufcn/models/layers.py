@@ -79,8 +79,11 @@ class _S2DConvInner(nn.Module):
                           self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
+        # accumulator dtype == operand dtype: mixed-dtype conv transpose
+        # is unsupported by this jax version (see Inception fused conv)
         y = conv2d_space_to_depth(x.astype(self.dtype),
-                                  kern.astype(self.dtype), 2, self.pad)
+                                  kern.astype(self.dtype), 2, self.pad,
+                                  preferred_element_type=self.dtype)
         return (y + bias).astype(self.dtype)
 
 

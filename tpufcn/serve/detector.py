@@ -69,6 +69,10 @@ def _preprocess(frames: jax.Array, mode: str, net_hw: Tuple[int, int]) -> jax.Ar
       fcn_object_detector.py:79 demeans before the resize at :80), then
       resize.
     """
+    if mode == "shift127" and frames.shape[-3:-1] == net_hw:
+        # keep raw uint8: the model's Power(-127) cast fuses into its
+        # first transpose/conv, avoiding a materialized f32 frame copy
+        return frames
     x = jnp.asarray(frames, jnp.float32)
     if mode == "demean":
         x = demean_bgr(x)
@@ -140,18 +144,23 @@ class Detector:
         K = min(cfg.candidate_capacity, dec_grid.grid_h * dec_grid.grid_w)
 
         def per_image(cvg_i, bbox_i):
-            boxes, cvg, valid = decode_gridboxes(
-                cvg_i, bbox_i, dec_grid, cfg.detection_threshold)
+            return decode_gridboxes(cvg_i, bbox_i, dec_grid,
+                                    cfg.detection_threshold)
 
-            def per_class(boxes_c, cvg_c, valid_c):
-                # top-K candidates by coverage among valid cells
-                score = jnp.where(valid_c, cvg_c, -1.0)
-                _, idx = jax.lax.top_k(score, K)
-                return boxes_c[idx], valid_c[idx]
+        boxes, cvg, valid = jax.vmap(per_image)(coverage, bboxes)
 
-            return jax.vmap(per_class)(boxes, cvg, valid)
-
-        cand_boxes, cand_valid = jax.vmap(per_image)(coverage, bboxes)
+        # top-K candidates by coverage among valid cells, selected with a
+        # variadic stable sort carrying the boxes as payload: bit-identical
+        # to top_k + take (stable, ties by cell index), but avoids TPU row
+        # gathers, which measure ~3x slower than the payload sort
+        score = jnp.where(valid, cvg, -1.0)
+        sorted_ops = jax.lax.sort(
+            (-score, boxes[..., 0], boxes[..., 1], boxes[..., 2],
+             boxes[..., 3], valid.astype(jnp.float32)),
+            dimension=-1, num_keys=1, is_stable=True)
+        cand_boxes = jnp.stack([o[..., :K] for o in sorted_ops[1:5]],
+                               axis=-1)
+        cand_valid = sorted_ops[5][..., :K] > 0.5
         B, C = cand_boxes.shape[0], cand_boxes.shape[1]
         det = vote_boxes_batched(
             cand_boxes.reshape(B * C, K, 4), cand_valid.reshape(B * C, K),
