@@ -81,21 +81,36 @@ class ParallelCompositePipeline:
             p.start()
             self._procs.append(p)
 
+    def _get(self) -> Dict[str, np.ndarray]:
+        """Queue get that fails loudly when the pool has died (e.g. a
+        ``spawn`` parent whose __main__ is not importable) instead of
+        blocking forever."""
+        import queue as _q
+        while True:
+            try:
+                return self._queue.get(timeout=5.0)
+            except _q.Empty:
+                if not any(p.is_alive() for p in self._procs):
+                    raise RuntimeError(
+                        "all scene-builder workers exited; with "
+                        "start_method='spawn' the parent __main__ must be "
+                        "importable (a real script or pytest, not stdin)")
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            yield self._queue.get()
+            yield self._get()
 
     def batch(self, batch_size: Optional[int] = None) -> Dict[str, np.ndarray]:
         """One batch (size is fixed per-pipeline; argument kept for
         interface parity with CompositeTrainPipeline)."""
-        return self._queue.get()
+        return self._get()
 
     def throughput(self, n_batches: int = 8) -> float:
         """Measured composited images/sec arriving at the consumer."""
-        _ = self._queue.get()  # let the pool warm up
+        _ = self._get()  # let the pool warm up
         t0 = time.perf_counter()
         for _ in range(n_batches):
-            _ = self._queue.get()
+            _ = self._get()
         dt = time.perf_counter() - t0
         return n_batches * self.cfg.batch_size / dt
 
