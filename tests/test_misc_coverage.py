@@ -78,3 +78,23 @@ def test_cli_eval(tmp_path, rng, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "mAP" in rec and rec["images"] == 1
     assert 0.0 <= rec["mAP"] <= 1.0
+
+
+def test_aggregate_device_trace(tmp_path):
+    """device_trace + aggregate_device_trace give per-HLO-op durations
+    without TensorBoard (the only valid per-op attribution through the
+    remote-TPU tunnel; works against CPU 'hlo_op' tags too)."""
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.utils.profiling import aggregate_device_trace, device_trace
+
+    x = jnp.ones((256, 256), jnp.float32)
+    f = jax.jit(lambda a: (a @ a).sum())
+    _ = float(f(x))
+    with device_trace(str(tmp_path)):
+        for _ in range(3):
+            _ = float(f(x))
+    rows = aggregate_device_trace(str(tmp_path))
+    assert rows and all(r["dur_us"] > 0 for r in rows)
+    assert any("dot" in r["long_name"] or "dot" in r["name"]
+               for r in rows), [r["name"] for r in rows]

@@ -1,3 +1,4 @@
-from tpufcn.utils.profiling import StageTimer, device_trace
+from tpufcn.utils.profiling import (
+    StageTimer, aggregate_device_trace, device_trace)
 
-__all__ = ["StageTimer", "device_trace"]
+__all__ = ["StageTimer", "aggregate_device_trace", "device_trace"]
