@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--out", default="/tmp/tpufcn_demo")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="scene-builder worker processes (0 = one "
+                         "prefetch thread; use cores-1 on real hosts)")
     args = ap.parse_args()
 
     import dataclasses
@@ -72,11 +75,21 @@ def main():
     # 4 steps per dispatch: amortizes per-dispatch overhead (dominant
     # through the remote-TPU tunnel; see CLAUDE.md)
     trainer = Trainer(cfg, model=model, steps_per_dispatch=4)
-    pipe = CompositeTrainPipeline(samples, grid,
-                                  DataConfig(batch_size=args.batch),
-                                  box_capacity=4, seed=1)
-    from tpufcn.data import prefetch
-    state = trainer.fit(prefetch(iter(pipe), depth=4), max_iter=args.steps)
+    if args.workers > 0:
+        from tpufcn.data.parallel import ParallelCompositePipeline
+        pipe = ParallelCompositePipeline(samples, grid,
+                                         DataConfig(batch_size=args.batch),
+                                         box_capacity=4, seed=1,
+                                         workers=args.workers)
+        state = trainer.fit(iter(pipe), max_iter=args.steps)
+        pipe.close()
+    else:
+        pipe = CompositeTrainPipeline(samples, grid,
+                                      DataConfig(batch_size=args.batch),
+                                      box_capacity=4, seed=1)
+        from tpufcn.data import prefetch
+        state = trainer.fit(prefetch(iter(pipe), depth=4),
+                            max_iter=args.steps)
     print(f"trained {int(state.step)} steps")
 
     det = Detector("vgg_detectnet_train", dtype=jnp.bfloat16,

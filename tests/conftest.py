@@ -43,6 +43,8 @@ _SLOW = {
     "test_convert.py::test_googlenet_full_roundtrip",
     "test_trainer.py::test_trainer_fit_and_resume",
     "test_trainer.py::test_trainer_multistep_snapshot_cadence",
+    "test_trainer.py::test_trainer_fit_from_parallel_pipeline",
+    "test_train_step.py::test_googlenet_train_step_backward",
     "test_misc_coverage.py::test_cli_eval",
     "test_launch_integration.py::test_detector_and_pointmap_graph",
 }

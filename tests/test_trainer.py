@@ -93,3 +93,22 @@ def test_trainer_multistep_snapshot_cadence(tmp_path, tiny_dataset):
     steps = sorted(tr._mgr.all_steps())
     assert 4 in steps, f"mid-run snapshot missing: {steps}"
     assert 6 in steps
+
+
+def test_trainer_fit_from_parallel_pipeline(tmp_path, tiny_dataset):
+    """Trainer consumes the process-pool pipeline end to end."""
+    from tpufcn.data.parallel import ParallelCompositePipeline
+
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=2),
+        snapshot_every=0, max_iter=2,
+        snapshot_dir=str(tmp_path / "snap_par"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    tr = Trainer(cfg, model=model, log_sink=lambda s: None)
+    with ParallelCompositePipeline(
+            tiny_dataset, grid, DataConfig(batch_size=2), box_capacity=4,
+            workers=2, depth=2, seed=5) as pipe:
+        state = tr.fit(iter(pipe), max_iter=2)
+    assert int(state.step) == 2
