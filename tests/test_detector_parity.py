@@ -78,3 +78,36 @@ def test_detector_rescale_truncation(rng):
     # a cell box (0,0,65,49)+origin scaled: x coords multiples of 1.5
     # truncated to int; y coords exactly doubled
     assert (boxes[:, 1] % 2 == 0).all() and (boxes[:, 3] % 2 == 0).all()
+
+
+def test_select_candidates_matches_unpacked_topk(rng):
+    """The packed 3-operand candidate sort (serve/detector.py
+    select_candidates) vs the straightforward 6-operand sort it
+    replaced: identical selection and (rounded) boxes, including
+    negative coords, ties, and out-of-range clamping."""
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.serve.detector import select_candidates
+
+    B, C, M, K = 3, 2, 96, 32
+    cvg = rng.random((B, C, M)).astype(np.float32)
+    cvg[rng.random((B, C, M)) < 0.3] = 0.5  # ties
+    boxes = rng.uniform(-600, 900, (B, C, M, 4)).astype(np.float32)
+    boxes[0, 0, 0] = [-5000.0, 5000.0, 3.4, -2048.4]  # clamp surface
+    valid = rng.random((B, C, M)) < 0.6
+
+    got_boxes, got_valid = jax.jit(
+        select_candidates, static_argnums=3)(cvg, boxes, valid, K)
+
+    # reference: full-payload sort on pre-rounded+clamped boxes
+    r = np.clip(np.rint(boxes), -2048, 2047)
+    score = np.where(valid, cvg, -1.0)
+    want_boxes = np.zeros((B, C, K, 4), np.float32)
+    want_valid = np.zeros((B, C, K), bool)
+    for b in range(B):
+        for c in range(C):
+            order = np.argsort(-score[b, c], kind="stable")[:K]
+            want_boxes[b, c] = r[b, c][order]
+            want_valid[b, c] = valid[b, c][order]
+    assert np.array_equal(np.asarray(got_valid), want_valid)
+    assert np.array_equal(np.asarray(got_boxes), want_boxes)

@@ -88,3 +88,52 @@ def test_lrn_maxpool_kernel_exact(rng, shape):
     want = max_pool_caffe(lrn_across_channels(x, 5, 1e-4, 0.75), 3, 2)
     got = lrn_maxpool_pallas(x, interpret=True)
     assert jnp.array_equal(want, got)
+
+
+@pytest.mark.parametrize("b", [3, 4, 16])
+def test_group_rects_kernel_matches_xla(rng, b):
+    """The fused groupRectangles kernel (interpret mode) vs the XLA
+    formulation, across instance-batching widths: b=16 -> G=8 lanes per
+    grid step, b=4 -> G=4, b=3 -> G=1 (the per-instance fallback)."""
+    from tpufcn.ops.group_rects import group_rectangles
+    from tpufcn.ops.pallas.group_rects import group_rectangles_pallas
+
+    N = 128
+    rects = np.zeros((b, N, 4), np.float32)
+    valid = np.zeros((b, N), bool)
+    for i in range(b):
+        boxes = _clustered(rng, n_clusters=int(rng.integers(1, 5)),
+                           per_cluster=int(rng.integers(2, 9)))
+        n = min(len(boxes), N)
+        rects[i, :n] = boxes[:n]
+        valid[i, :n] = True
+
+    got = group_rectangles_pallas(jnp.asarray(rects), jnp.asarray(valid),
+                                  group_threshold=3, eps=0.2,
+                                  interpret=True)
+    for i in range(b):
+        want = group_rectangles(jnp.asarray(rects[i]),
+                                jnp.asarray(valid[i]),
+                                group_threshold=3, eps=0.2)
+        assert np.array_equal(np.asarray(got.valid[i]),
+                              np.asarray(want.valid)), f"instance {i}"
+        m = np.asarray(want.valid)
+        assert np.array_equal(np.asarray(got.rects[i])[m],
+                              np.asarray(want.rects)[m]), f"instance {i}"
+        assert np.array_equal(np.asarray(got.weights[i])[m],
+                              np.asarray(want.weights)[m]), f"instance {i}"
+
+
+def _clustered(rng, n_clusters, per_cluster, jitter=4.0):
+    boxes = []
+    for _ in range(n_clusters):
+        x1 = rng.uniform(0, 300)
+        y1 = rng.uniform(0, 300)
+        x2 = x1 + rng.uniform(60, 140)
+        y2 = y1 + rng.uniform(60, 140)
+        for _ in range(per_cluster):
+            boxes.append([x1 + rng.normal(0, jitter),
+                          y1 + rng.normal(0, jitter),
+                          x2 + rng.normal(0, jitter),
+                          y2 + rng.normal(0, jitter)])
+    return np.asarray(boxes, np.float32)

@@ -55,7 +55,10 @@ def lrn_across_channels(x: jax.Array,
     if x.dtype == jnp.bfloat16:
         # fast path: bf16 squares + single-pass MXU matmul (~0.5% scale
         # error -> <0.4% output error; full-precision parity runs use a
-        # float32 activation dtype and take the branch below)
+        # float32 activation dtype and take the branch below).  A bf16
+        # window emission measured end-to-end NEUTRAL (XLA already fuses
+        # the f32 window away in context — see BENCH.md negative results),
+        # so the f32 emission is kept for numerical headroom.
         sq = jnp.square(x)
         win = jnp.matmul(sq, _lrn_band(c, size).astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)

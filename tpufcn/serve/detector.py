@@ -30,6 +30,51 @@ from tpufcn.ops.grid_codec import decode_gridboxes
 from tpufcn.ops.group_rects import vote_boxes_batched
 from tpufcn.ops.image import demean_bgr, resize_bilinear
 
+# Packing base for the candidate sort payload: two integer coords in
+# [-_PACK/2, _PACK/2) pack exactly into one f32 (product < 2^24).
+_PACK = 4096.0
+
+
+def select_candidates(cvg, boxes, valid, K):
+    """Top-K candidates by coverage among valid cells.
+
+    Selected with a variadic stable sort carrying the boxes as payload:
+    bit-identical to top_k + take (stable, ties by cell index), but
+    avoids TPU row gathers, which measure ~3x slower than the payload
+    sort.  Sort cost scales with operand count, so the payload is packed
+    to two lanes: groupRectangles consumes integer rects (both NMS paths
+    cvRound on entry), so the coords are pre-rounded here — bit-identical
+    downstream — and two int-valued coords pack exactly into one f32
+    (values < 2^24).  Coords are clamped to [-2048, 2047] (4.5x the
+    frame; only degenerate regressions land outside).  Validity rides
+    the key's sign: invalid cells get score -1 (key +1), valid coverage
+    is a sigmoid in [0, 1] (key <= 0), so no separate valid payload is
+    needed.
+
+    Args:
+      cvg: (..., M) coverage scores in [0, 1].
+      boxes: (..., M, 4) decoded cell boxes.
+      valid: (..., M) bool.
+      K: candidates kept per instance.
+    Returns (boxes (..., K, 4) rounded to ints, valid (..., K)).
+    """
+    score = jnp.where(valid, cvg, -1.0)
+    half = _PACK / 2
+    r = jnp.clip(jnp.rint(boxes), -half, half - 1) + half
+    packed_xy = r[..., 0] * _PACK + r[..., 1]
+    packed_wh = r[..., 2] * _PACK + r[..., 3]
+    key, packed_xy, packed_wh = jax.lax.sort(
+        (-score, packed_xy, packed_wh),
+        dimension=-1, num_keys=1, is_stable=True)
+    key = key[..., :K]
+    packed_xy, packed_wh = packed_xy[..., :K], packed_wh[..., :K]
+    bx = jnp.floor(packed_xy / _PACK)
+    bw = jnp.floor(packed_wh / _PACK)
+    cand_boxes = jnp.stack(
+        [bx, packed_xy - bx * _PACK,
+         bw, packed_wh - bw * _PACK], axis=-1) - half
+    return cand_boxes, key <= 0.0
+
 
 class DetectionResult(NamedTuple):
     """Fixed-capacity per-class detections, frame coordinates.
@@ -149,18 +194,7 @@ class Detector:
 
         boxes, cvg, valid = jax.vmap(per_image)(coverage, bboxes)
 
-        # top-K candidates by coverage among valid cells, selected with a
-        # variadic stable sort carrying the boxes as payload: bit-identical
-        # to top_k + take (stable, ties by cell index), but avoids TPU row
-        # gathers, which measure ~3x slower than the payload sort
-        score = jnp.where(valid, cvg, -1.0)
-        sorted_ops = jax.lax.sort(
-            (-score, boxes[..., 0], boxes[..., 1], boxes[..., 2],
-             boxes[..., 3], valid.astype(jnp.float32)),
-            dimension=-1, num_keys=1, is_stable=True)
-        cand_boxes = jnp.stack([o[..., :K] for o in sorted_ops[1:5]],
-                               axis=-1)
-        cand_valid = sorted_ops[5][..., :K] > 0.5
+        cand_boxes, cand_valid = select_candidates(cvg, boxes, valid, K)
         B, C = cand_boxes.shape[0], cand_boxes.shape[1]
         det = vote_boxes_batched(
             cand_boxes.reshape(B * C, K, 4), cand_valid.reshape(B * C, K),
