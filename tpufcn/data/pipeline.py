@@ -58,7 +58,13 @@ class CompositeTrainPipeline:
         self.cfg = data_cfg or DataConfig()
         self.grid = grid
         self.box_capacity = box_capacity
-        self.imread = imread
+        # Decode-once cache for background frames: the reference re-imreads
+        # the background every iteration (data_argumentation_layer.py:86) —
+        # measured ~20% of host compositing time here.  Consumers only read
+        # (the compositor copies before pasting), so sharing the decoded
+        # array is safe.
+        import functools
+        self.imread = functools.lru_cache(maxsize=64)(lambda p: imread(p))
         self.samples = list(samples)
         self.backgrounds = list(backgrounds or [])
         self.compositor = Compositor(
