@@ -27,6 +27,7 @@ import pytest  # noqa: E402
 _SLOW = {
     "test_cli_launch.py::test_launch_graph_detector",
     "test_cli_launch.py::test_cli_detect_inprocess",
+    "test_cli_launch.py::test_cli_train_records_eval_weights",
     "test_e2e_train_detect.py::test_train_snapshot_serve_roundtrip",
     "test_detector_parity.py::test_detector_rescale_truncation",
     "test_detector_parity.py::test_detector_matches_golden_flow",

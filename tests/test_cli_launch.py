@@ -77,3 +77,55 @@ def test_cli_records_and_voc(tmp_path, rng):
     main(["records", "--manifest", man, "--out", str(tmp_path / "rec/ds")])
     from tpufcn.data import RecordReader
     assert len(RecordReader(str(tmp_path / "rec/ds"))) == 1
+
+
+def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
+    """Offline workflow: records -> train --records -> eval --weights
+    (the reference's create_training_lmdb.py -> caffe train -> score
+    loop, SURVEY.md C8/C21)."""
+    import dataclasses
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(4):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.uint8)
+            x, y = 10 + 4 * i, 12
+            img[y:y + 32, x:x + 24] = (220, 40, 90)
+            ip = str(tmp_path / f"i{i}.png")
+            cv.imwrite(ip, img)
+            f.write(f"{ip} {x} {y} 24 32 1\n")
+    prefix = str(tmp_path / "rec/ds")
+    main(["records", "--manifest", man, "--out", prefix])
+
+    def _tiny(**o):
+        cfg = TrainConfig(
+            grid=GridConfig(64, 64, stride=8, num_classes=11),
+            data=DataConfig(batch_size=2), model="vgg_detectnet_train",
+            optimizer="adam", learning_rate=1e-4, max_iter=2,
+            snapshot_every=0, log_every=1)
+        return dataclasses.replace(cfg, **o)
+
+    recipes.RECIPES["_tiny_cli_test"] = _tiny
+    snap = str(tmp_path / "snap")
+    try:
+        main(["train", "--recipe", "_tiny_cli_test", "--records", prefix,
+              "--snapshot-dir", snap])
+        assert "trained to step 2" in capsys.readouterr().out
+        main(["eval", "--manifest", man, "--format", "detection",
+              "--model", "vgg_detectnet_train", "--weights", snap])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["images"] == 4 and 0.0 <= rec["mAP"] <= 1.0
+    finally:
+        del recipes.RECIPES["_tiny_cli_test"]
+
+
+def test_cli_train_seg_recipe_rejects_records(tmp_path):
+    from tpufcn.cli import main
+    with pytest.raises(SystemExit, match="detection recipes"):
+        main(["train", "--recipe", "fcn_bbox", "--records",
+              str(tmp_path / "ds")])
+    with pytest.raises(SystemExit, match="manifest or --records"):
+        main(["train", "--recipe", "bounding_box"])

@@ -37,17 +37,32 @@ def _cmd_train(args):
     if args.snapshot_dir:
         cfg = dataclasses.replace(cfg, snapshot_dir=args.snapshot_dir)
 
-    samples = read_mask_manifest(args.manifest)
-    if args.workers > 0:
+    if not args.records and not args.manifest:
+        raise SystemExit("one of --manifest or --records is required")
+    with_seg = args.recipe in ("fcn_bbox", "semantic_segmentation")
+    if args.records:
+        # offline path: pre-built record shards (the reference's LMDB
+        # DataLayer analog, create_training_lmdb.py) instead of online
+        # compositing.  Detection recipes only — records store box
+        # labels, not segmentation masks.
+        if with_seg:
+            raise SystemExit(
+                "--records is for detection recipes (records store "
+                "box labels, not segmentation masks)")
+        from tpufcn.data.pipeline import RecordTrainPipeline
+        pipe = RecordTrainPipeline(args.records, cfg.grid,
+                                   batch_size=cfg.data.batch_size)
+    elif args.workers > 0:
         from tpufcn.data.parallel import ParallelCompositePipeline
+        samples = read_mask_manifest(args.manifest)
         pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,
                                          backgrounds=args.backgrounds,
                                          workers=args.workers)
     else:
+        samples = read_mask_manifest(args.manifest)
         pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
                                       backgrounds=args.backgrounds)
-    trainer = Trainer(cfg, with_seg=args.recipe in
-                      ("fcn_bbox", "semantic_segmentation"))
+    trainer = Trainer(cfg, with_seg=with_seg)
     state = trainer.fit(iter(pipe))
     print(f"trained to step {int(state.step)}; snapshots in "
           f"{cfg.snapshot_dir}")
@@ -116,6 +131,8 @@ def _cmd_voc(args):
 
 
 def _cmd_eval(args):
+    import os
+
     import cv2 as cv
     import numpy as np
     from tpufcn.data import read_voc_manifest, read_detection_manifest
@@ -127,7 +144,18 @@ def _cmd_eval(args):
     reader = (read_voc_manifest if args.format == "voc"
               else read_detection_manifest)
     samples = reader(args.manifest)
-    det = Detector(args.model)
+    if args.weights and os.path.isdir(args.weights):
+        # a Trainer orbax snapshot directory
+        det = Detector.from_checkpoint(args.weights, args.model)
+    elif args.weights:
+        # a .caffemodel file — reuse the launch-graph loading path
+        from tpufcn.serve.launch import _make_detector
+        from tpufcn.serve.bus import TopicBus
+        det = _make_detector(TopicBus(), {
+            "model": args.model, "pretrained_weights": args.weights,
+        }, {}).detector
+    else:
+        det = Detector(args.model)
     images, gts = [], []
     for s in samples[:args.limit]:
         img = cv.imread(s.image_path)
@@ -162,7 +190,10 @@ def main(argv=None):
 
     t = sub.add_parser("train")
     t.add_argument("--recipe", default="bounding_box")
-    t.add_argument("--manifest", required=True)
+    t.add_argument("--manifest", default=None)
+    t.add_argument("--records", default=None,
+                   help="train from record shards (prefix passed to "
+                        "`records --out`) instead of online compositing")
     t.add_argument("--backgrounds", nargs="*", default=None)
     t.add_argument("--max-iter", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
@@ -201,6 +232,8 @@ def main(argv=None):
     e.add_argument("--manifest", required=True)
     e.add_argument("--format", choices=("voc", "detection"), default="voc")
     e.add_argument("--model", default="vgg_pyramid_detectnet")
+    e.add_argument("--weights", default=None,
+                   help="orbax snapshot dir or .caffemodel file")
     e.add_argument("--iou", type=float, default=0.5)
     e.add_argument("--limit", type=int, default=10**9)
     e.set_defaults(fn=_cmd_eval)
