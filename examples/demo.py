@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="scene-builder worker processes (0 = one "
                          "prefetch thread; use cores-1 on real hosts)")
+    ap.add_argument("--cache", type=int, default=0,
+                    help="device-resident batch cache: compose N "
+                         "batches once, train epochs over them from HBM "
+                         "(fast on 1-core hosts / remote-TPU tunnels)")
     args = ap.parse_args()
 
     import dataclasses
@@ -72,10 +76,18 @@ def main():
         max_iter=args.steps, snapshot_every=0,
         snapshot_dir=os.path.join(args.out, "snap"), log_every=20)
     model = build("vgg_detectnet_train", dtype=jnp.bfloat16, num_classes=1)
-    # 4 steps per dispatch: amortizes per-dispatch overhead (dominant
+    # multi-step dispatch amortizes per-dispatch overhead (dominant
     # through the remote-TPU tunnel; see CLAUDE.md)
-    trainer = Trainer(cfg, model=model, steps_per_dispatch=4)
-    if args.workers > 0:
+    trainer = Trainer(cfg, model=model,
+                      steps_per_dispatch=args.cache if args.cache else 4)
+    if args.cache > 0:
+        from tpufcn.data import DeviceBatchCache
+        pipe = CompositeTrainPipeline(samples, grid,
+                                      DataConfig(batch_size=args.batch),
+                                      box_capacity=4, seed=1)
+        cache = DeviceBatchCache(trainer.put, iter(pipe), args.cache)
+        state = trainer.fit(iter(cache), max_iter=args.steps)
+    elif args.workers > 0:
         from tpufcn.data.parallel import ParallelCompositePipeline
         pipe = ParallelCompositePipeline(samples, grid,
                                          DataConfig(batch_size=args.batch),

@@ -64,7 +64,7 @@ import jax  # noqa: E402  (used inside test body)
 
 
 def test_fp8_serving_mode_agrees_with_exact(rng):
-    """store_dtype=f8e4m3 serving mode: coverage maps stay close to the
+    """store_dtype=f8e5m2 serving mode: coverage maps stay close to the
     exact bf16 model and the detector pipeline runs end to end."""
     import jax.numpy as jnp
     from tpufcn.serve.detector import Detector
@@ -72,7 +72,8 @@ def test_fp8_serving_mode_agrees_with_exact(rng):
                     max_candidates=64)
     fast = Detector("googlenet_detectnet_1cls", dtype=jnp.bfloat16,
                     max_candidates=64, params=base.params,
-                    model_kwargs={"store_dtype": jnp.float8_e4m3fn})
+                    model_kwargs={"store_dtype": jnp.float8_e5m2,
+                                  "store_blocks": True, "store_stem2": True})
     frames = rng.integers(0, 256, (2, 448, 448, 3)).astype(np.uint8)
     x = jnp.asarray(frames)
     a = base.model.apply(base.params, x)["coverage"]

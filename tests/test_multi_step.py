@@ -66,3 +66,35 @@ def test_trainer_steps_per_dispatch(rng, tmp_path):
     state = tr.fit(iter(_batches(rng, 10)), max_iter=4)
     assert int(state.step) == 4
     assert len(tr.logger.history) == 2   # one log per dispatch
+
+
+def test_device_batch_cache_epoch_training(rng, tmp_path):
+    """DeviceBatchCache: one upload, epoch reuse — fit() result matches
+    feeding the same host batches over and over through put()."""
+    from tpufcn.data import DeviceBatchCache
+    from tpufcn.train.trainer import Trainer
+    import itertools
+
+    grid = GridConfig(64, 64, 8, 2)
+    cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
+                      data=DataConfig(batch_size=2),
+                      snapshot_every=0, max_iter=6,
+                      snapshot_dir=str(tmp_path / "a"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    batches = _batches(rng, 2)
+
+    tr1 = Trainer(cfg, model=model, steps_per_dispatch=2,
+                  log_sink=lambda s: None)
+    cache = DeviceBatchCache(tr1.put, iter(batches), n_batches=2)
+    s1 = tr1.fit(iter(cache), max_iter=6)           # 3 epochs over 2 batches
+    assert int(s1.step) == 6
+
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, snapshot_dir=str(tmp_path / "b"))
+    tr2 = Trainer(cfg2, model=model, steps_per_dispatch=2,
+                  log_sink=lambda s: None)
+    s2 = tr2.fit(itertools.cycle(batches), max_iter=6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["params"]["cvg/classifier"]["conv"]["bias"]),
+        np.asarray(s2.params["params"]["cvg/classifier"]["conv"]["bias"]),
+        rtol=1e-5, atol=1e-7)

@@ -8,7 +8,8 @@ from tpufcn.data.compositor import (
 from tpufcn.data.records import (
     RecordReader, RecordWriter, create_detection_records, read_records)
 from tpufcn.data.pipeline import (
-    CompositeTrainPipeline, RecordTrainPipeline, prefetch, pad_boxes)
+    CompositeTrainPipeline, DeviceBatchCache, RecordTrainPipeline,
+    prefetch, pad_boxes)
 from tpufcn.data.parallel import ParallelCompositePipeline
 from tpufcn.data.voc import PascalVOC, VOC_CLASSES
 
@@ -20,7 +21,8 @@ __all__ = [
     "flip_image_with_rects", "resize_image_and_rects", "fcn_crop_sample",
     "RecordReader", "RecordWriter", "create_detection_records",
     "read_records",
-    "CompositeTrainPipeline", "RecordTrainPipeline", "prefetch", "pad_boxes",
+    "CompositeTrainPipeline", "DeviceBatchCache", "RecordTrainPipeline",
+    "prefetch", "pad_boxes",
     "ParallelCompositePipeline",
     "PascalVOC", "VOC_CLASSES",
 ]

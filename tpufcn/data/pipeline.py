@@ -169,6 +169,36 @@ class RecordTrainPipeline:
                    "valid": valid}
 
 
+class DeviceBatchCache:
+    """Device-resident epoch cache: stack N host batches, upload ONCE,
+    then yield the same stacked device batch forever.
+
+    On hosts where batch building or host->device transfer cannot keep
+    up with the device (1-core hosts, remote-TPU tunnels with ~40 ms
+    per-dispatch RTT), ``Trainer.fit`` re-uploads every dispatch.  This
+    cache is the epoch-training analog of the reference's RAM-resident
+    LMDB (reference models/train_val.prototxt:8-26 DataLayer streams a
+    fixed dataset every epoch): compose ``n_batches`` scenes once, keep
+    them in HBM, and let every dispatch consume them with zero host
+    work.  Construct the ``Trainer`` with
+    ``steps_per_dispatch=n_batches`` and feed ``iter(cache)`` to
+    ``fit`` — the pre-stacked (N, B, ...) device batch is detected and
+    dispatched directly.
+    """
+
+    def __init__(self, put: Callable[[Dict[str, np.ndarray]], Dict],
+                 source: Iterator[Dict[str, np.ndarray]],
+                 n_batches: int):
+        from tpufcn.train.step import stack_batches
+        self.n_batches = n_batches
+        self.batch = put(stack_batches(
+            [next(source) for _ in range(n_batches)]))
+
+    def __iter__(self):
+        while True:
+            yield self.batch
+
+
 def prefetch(source: Iterator, depth: int = 2,
              transform: Optional[Callable] = None) -> Iterator:
     """Run ``source`` in a daemon thread with a bounded queue.

@@ -153,14 +153,19 @@ class Trainer:
             if int(state.step) >= max_iter:
                 break
             if n_multi > 1:
-                pending.append(batch)
-                if len(pending) < n_multi:
-                    continue
-                from tpufcn.train.step import stack_batches
-                stacked = stack_batches(pending)
-                bs = pending[0]["image"].shape[0]
-                pending = []
-                b = self.put(stacked)
+                if getattr(batch["image"], "ndim", 0) == 5:
+                    # pre-stacked (N, B, ...) device-resident batch
+                    # (DeviceBatchCache): dispatch directly, no re-upload
+                    b, bs = batch, batch["image"].shape[1]
+                else:
+                    pending.append(batch)
+                    if len(pending) < n_multi:
+                        continue
+                    from tpufcn.train.step import stack_batches
+                    stacked = stack_batches(pending)
+                    bs = pending[0]["image"].shape[0]
+                    pending = []
+                    b = self.put(stacked)
                 state, metrics = self.step_fn(state, b)
                 # metrics come back stacked (N,); log the last step
                 last = {k: v[-1] for k, v in metrics.items()}
