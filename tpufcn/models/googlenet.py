@@ -113,6 +113,11 @@ class Inception(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype).astype(self.dtype)
         y = nn.relu(y + fused_b)
+        if self.store_dtype is not None:
+            # the fused 1x1 output is the block's remaining large bf16
+            # tensor; its consumers (the concat itself for the 1x1
+            # slice, 3x3/5x5 conv prologues) all absorb the convert
+            y = y.astype(self.store_dtype)
         b1, b3, b5 = jnp.split(y, np.cumsum(widths)[:-1].tolist(), axis=-1)
 
         b3 = conv_relu(b3, self.n3, 3, pad=1, name="3x3", **d)
@@ -120,12 +125,13 @@ class Inception(nn.Module):
         bp = max_pool_caffe(x, 3, 1, 1)
         bp = conv_relu(bp.astype(self.dtype), self.npp, 1,
                        name="pool_proj", **d)
-        out = jnp.concatenate([b1, b3, b5, bp], axis=-1)
         if self.store_dtype is not None:
-            # the convert rides the concat's copy fusion; consumers are a
-            # 1x1 conv prologue and max pools, both fp8-tolerant on VPU
-            out = out.astype(self.store_dtype)
-        return out
+            # converts ride the producing convs' relu epilogues; the
+            # concat then copies 8-bit lanes and every consumer (next
+            # block's 1x1 conv prologue, max pools) absorbs the
+            # up-convert on the VPU
+            b3, b5, bp = (t.astype(self.store_dtype) for t in (b3, b5, bp))
+        return jnp.concatenate([b1, b3, b5, bp], axis=-1)
 
 
 class GoogLeNetDetectNet(nn.Module):
