@@ -142,11 +142,8 @@ def main():
         rng.integers(0, 256, size=(batch, 448, 448, 3)).astype(np.uint8))
 
     # headline: serving configuration (fp8 stem activation storage)
-    det = Detector("googlenet_detectnet", dtype=jnp.bfloat16,
-                   max_candidates=256,
-                   model_kwargs={"store_dtype": jnp.float8_e5m2,
-                                 "store_blocks": True,
-                                 "store_stem2": True})
+    det = Detector("googlenet_detectnet_serving", dtype=jnp.bfloat16,
+                   max_candidates=256)
     dt = _time_loop(det._infer_impl, det.params, frames)
     imgs_per_sec = batch / dt
 

@@ -64,6 +64,22 @@ def test_registry_complete():
         assert required in have
 
 
+def test_serving_preset_checkpoint_compatible():
+    """googlenet_detectnet_serving: same param tree as the flagship
+    (checkpoints interchange; only activation STORAGE dtypes differ)."""
+    import jax.tree_util as jtu
+    exact = build("googlenet_detectnet", dtype=jnp.bfloat16)
+    serving = build("googlenet_detectnet_serving", dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    pe = exact.init(jax.random.key(0), x)
+    ps = serving.init(jax.random.key(0), x)
+    assert (jtu.tree_structure(pe) == jtu.tree_structure(ps))
+    assert all(a.shape == b.shape for a, b in
+               zip(jtu.tree_leaves(pe), jtu.tree_leaves(ps)))
+    out = serving.apply(pe, x)           # exact's params serve directly
+    assert out["coverage"].shape == (1, 4, 4, 4)
+
+
 def test_googlenet_param_names():
     model = build("googlenet_detectnet", dtype=jnp.float32)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -69,6 +69,23 @@ register("googlenet_detectnet_1cls", ModelSpec(
     heads=("coverage", "bboxes"),
     reference="models/train_val.prototxt",
 ))
+register("googlenet_detectnet_serving", ModelSpec(
+    # The flagship's serving configuration: f8e5m2 activation STORAGE
+    # for the stem tensors (conv1/LRN1/conv2/LRN2), the fused-1x1
+    # branch tensors, and the inception concats; all compute bf16.
+    # Same param tree as googlenet_detectnet (checkpoints interchange);
+    # accuracy tracked in bench extras (mAP 0.995 vs exact 0.992).
+    factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
+        num_classes=kw.pop("num_classes", 4), dtype=dtype,
+        store_dtype=kw.pop("store_dtype", jnp.float8_e5m2),
+        store_blocks=kw.pop("store_blocks", True),
+        store_stem2=kw.pop("store_stem2", True), **kw),
+    grid=GridConfig(448, 448, stride=16, num_classes=4),
+    preprocessing="shift127",
+    background_channel=None,
+    heads=("coverage", "bboxes"),
+    reference="models/deploy.prototxt",
+))
 register("googlenet_detectnet_3cls", ModelSpec(
     factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
         num_classes=kw.pop("num_classes", 3), dtype=dtype, **kw),
