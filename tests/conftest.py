@@ -33,6 +33,7 @@ _SLOW = {
     "test_detector_parity.py::test_detector_matches_golden_flow",
     "test_multi_step.py::test_trainer_steps_per_dispatch",
     "test_multi_step.py::test_device_batch_cache_epoch_training",
+    "test_multi_step.py::test_device_batch_cache_sharded_mesh",
     "test_multi_step.py::test_multi_step_matches_sequential",
     "test_train_step.py::test_train_step_sharded_mesh",
     "test_resnet_fpn.py::test_train_step",

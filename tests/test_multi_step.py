@@ -68,6 +68,37 @@ def test_trainer_steps_per_dispatch(rng, tmp_path):
     assert len(tr.logger.history) == 2   # one log per dispatch
 
 
+def test_device_batch_cache_sharded_mesh(rng, tmp_path):
+    """Cache + multi-step dispatch on the fake 8-device CPU mesh: the
+    stacked batch is placed with a replicated steps axis + DP/spatial
+    inner sharding (put must NOT shard the steps axis), and fit runs."""
+    from tpufcn.core.config import MeshConfig
+    from tpufcn.core.mesh import make_mesh
+    from tpufcn.data import DeviceBatchCache
+    from tpufcn.train.trainer import Trainer
+
+    grid = GridConfig(64, 64, 8, 2)
+    mcfg = MeshConfig(data=4, space=2)
+    cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
+                      data=DataConfig(batch_size=8), mesh=mcfg,
+                      snapshot_every=0, max_iter=4,
+                      snapshot_dir=str(tmp_path / "s"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    tr = Trainer(cfg, model=model, mesh=make_mesh(mcfg),
+                 steps_per_dispatch=2, log_sink=lambda s: None)
+    cache = DeviceBatchCache(tr.put, iter(_batches(rng, 2, B=8)),
+                             n_batches=2)
+    img = cache.batch["image"]
+    assert img.ndim == 5
+    # steps axis replicated: each device shard spans all N steps
+    shard_shape = img.sharding.shard_shape(img.shape)
+    assert shard_shape[0] == img.shape[0]
+    assert shard_shape[1] == img.shape[1] // 4      # B over data axis
+    assert shard_shape[2] == img.shape[2] // 2      # H over space axis
+    state = tr.fit(iter(cache), max_iter=4)
+    assert int(state.step) == 4
+
+
 def test_device_batch_cache_epoch_training(rng, tmp_path):
     """DeviceBatchCache: one upload, epoch reuse — fit() result matches
     feeding the same host batches over and over through put()."""

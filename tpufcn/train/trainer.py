@@ -121,17 +121,29 @@ class Trainer:
                           (1, g.im_height, g.im_width, 3),
                           rng_seed=self.cfg.seed)
 
-    def put(self, batch: Dict[str, np.ndarray]):
+    def put(self, batch: Dict[str, np.ndarray], stacked: bool = None):
         """Host batch -> device arrays (sharded when on a mesh); images are
         demeaned on device by the step's preprocessing, so uint8 transfers
-        stay small."""
+        stay small.
+
+        ``stacked`` batches carry a leading (N, B, ...) steps axis
+        (multi-step dispatch): the steps axis is replicated and the
+        inner axes follow ``batch_sharding`` — matching the multi
+        step's ``in_shardings`` so jit does not re-shard per dispatch.
+        Default: inferred from ``steps_per_dispatch``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if stacked is None:
+            stacked = self.steps_per_dispatch > 1
         out = {}
         for k, v in batch.items():
             if k == "seg" and not self.with_seg:
                 continue
             arr = jnp.asarray(v)
             if self._shardings is not None:
-                arr = jax.device_put(arr, self._shardings[k])
+                sh = self._shardings[k]
+                if stacked:
+                    sh = NamedSharding(sh.mesh, P(None, *sh.spec))
+                arr = jax.device_put(arr, sh)
             out[k] = arr
         return out
 
