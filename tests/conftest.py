@@ -40,6 +40,7 @@ _SLOW = {
     "test_resnet_fpn.py::test_shapes_and_contract",
     "test_resnet_fpn.py::test_serves_through_detector",
     "test_detector.py::test_detector_finds_planted_object",
+    "test_detector.py::test_vgg_serving_mode_agrees_with_exact",
     "test_detector.py::test_detector_end_to_end_smoke",
     "test_bus_stream.py::test_detector_node_replay",
     "test_bus_stream.py::test_tiled_segmenter",

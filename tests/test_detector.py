@@ -82,3 +82,24 @@ def test_fp8_serving_mode_agrees_with_exact(rng):
     assert float(jnp.abs(a - b).mean()) < 0.05
     r = fast(frames)
     assert r.boxes.shape[0] == 2
+
+
+def test_vgg_serving_mode_agrees_with_exact(rng):
+    """e5m2 activation storage on the VGG pyramid deploy net (C17):
+    coverage close to exact; pipeline runs end to end."""
+    import jax.numpy as jnp
+    from tpufcn.serve.detector import Detector
+    base = Detector("vgg_pyramid_detectnet", dtype=jnp.bfloat16,
+                    max_candidates=64)
+    fast = Detector("vgg_pyramid_detectnet", dtype=jnp.bfloat16,
+                    max_candidates=64, params=base.params,
+                    model_kwargs={"store_dtype": jnp.float8_e5m2})
+    # 448 = the deploy geometry; the pyramid's fixed up-factors only
+    # close at s=56 (deploy.prototxt kernel sizes 56/28/14/8)
+    frames = rng.integers(0, 256, (1, 448, 448, 3)).astype(np.uint8)
+    x = jnp.asarray(frames)
+    a = base.model.apply(base.params, x)["coverage"]
+    b = fast.model.apply(fast.params, x)["coverage"]
+    assert float(jnp.abs(a - b).mean()) < 0.05
+    r = fast(frames)
+    assert r.boxes.shape[0] == 1

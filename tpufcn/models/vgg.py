@@ -43,6 +43,12 @@ class VGG16Backbone(nn.Module):
 
     dtype: Any = jnp.bfloat16
     relu5_3: bool = True
+    # Serving fast path (same design as GoogLeNetDetectNet.store_dtype):
+    # every conv output is STORED in a compact dtype (use f8e5m2 — its
+    # bf16-truncation convert rides the conv epilogue); max pools are
+    # fp8-exact and the next conv's prologue absorbs the up-convert.
+    # Compute stays ``dtype``.  None = exact (default; training uses it).
+    store_dtype: Any = None
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -55,6 +61,8 @@ class VGG16Backbone(nn.Module):
                     relu = False
                 x = conv_relu(x, width, 3, pad=1, name=f"conv{stage}_{i}",
                               relu=relu, dtype=self.dtype)
+                if self.store_dtype is not None:
+                    x = x.astype(self.store_dtype)
             taps[f"conv{stage}_{n_convs}"] = x
             if stage < 5:
                 x = max_pool_caffe(x, 2, 2)
@@ -68,12 +76,15 @@ class VGGDetectNet(nn.Module):
     num_classes: int = 11
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None    # serving: compact activation storage
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
-        taps = VGG16Backbone(dtype=self.dtype, name="backbone")(x)
+        taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             name="backbone")(x)
         y = taps["conv5_3"]                         # stride 16
-        y = upsample_factor(y, 2)                   # conv5_3/upsample -> stride 8
+        # bilinear upsample is a (depthwise) conv: compute dtype
+        y = upsample_factor(y.astype(self.dtype), 2)  # -> stride 8
         y = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="dropout5")(y)
         cvg = conv_relu(y, self.num_classes, 1, name="cvg/classifier",
@@ -91,10 +102,12 @@ class VGGPyramidDetectNet(nn.Module):
     num_classes: int = 20
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None    # serving: compact activation storage
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         taps = VGG16Backbone(dtype=self.dtype, relu5_3=False,
+                             store_dtype=self.store_dtype,
                              name="backbone")(x)
         c43 = taps["conv4_3"]                       # stride 8: (H/8, W/8)
         p4 = taps["pool4"]                          # stride 16
@@ -105,10 +118,13 @@ class VGGPyramidDetectNet(nn.Module):
         pyramid = []
         for bins in (1, 2, 4, 7):
             k = math.ceil(s / bins)                 # adaptive pool kernel
-            p = avg_pool_caffe(c43, k, k)           # (bins, bins)
+            # avg pool sums in the COMPUTE dtype (fp8 adds are inexact)
+            p = avg_pool_caffe(c43.astype(self.dtype), k, k)  # (bins, bins)
             p = conv_relu(p, 128, 1, name=f"conv4_3/{bins}x{bins}",
                           dtype=self.dtype)
             p = upsample_factor(p, half // p.shape[-3])
+            if self.store_dtype is not None:
+                p = p.astype(self.store_dtype)      # concat in 8-bit lanes
             pyramid.append(p)
 
         # Concat order matters for head-weight parity with the reference:
