@@ -64,6 +64,20 @@ def test_registry_complete():
         assert required in have
 
 
+def test_fcn_store_dtype_agrees_with_exact(rng):
+    """e5m2 backbone storage on FCN-32s: seg logits close to exact."""
+    from tpufcn.models import build
+    exact = build("fcn32s_seg", dtype=jnp.float32)
+    fast = build("fcn32s_seg", dtype=jnp.float32,
+                 store_dtype=jnp.float8_e5m2)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    p = exact.init(jax.random.key(0), x)
+    a = exact.apply(p, x)["score"]     # softmax class probabilities
+    b = fast.apply(p, x)["score"]
+    assert float(jnp.abs(a - b).mean()) < 0.02
+    assert a.shape == b.shape
+
+
 def test_serving_preset_checkpoint_compatible():
     """googlenet_detectnet_serving: same param tree as the flagship
     (checkpoints interchange; only activation STORAGE dtypes differ)."""

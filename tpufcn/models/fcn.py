@@ -42,11 +42,13 @@ class FCN8sBBox(nn.Module):
     num_classes: int = 11
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None    # serving: compact activation storage
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         C = self.num_classes
-        taps = VGG16Backbone(dtype=self.dtype, name="backbone")(x)
+        taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             name="backbone")(x)
         p5 = max_pool_caffe(taps["conv5_3"], 2, 2)            # pool5, stride 32
         y = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="dropout5")(p5)
@@ -78,10 +80,12 @@ class FCN32sSeg(nn.Module):
 
     num_classes: int = 12
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None    # serving: compact activation storage
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
-        taps = VGG16Backbone(dtype=self.dtype, name="backbone")(x)
+        taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             name="backbone")(x)
         # Caffe layer name "score_fr_6" (top blob "score_fr") — the module
         # uses the LAYER name so .caffemodel blobs map 1:1.
         s = conv_relu(taps["conv5_3"], self.num_classes, 1, name="score_fr_6",
