@@ -176,6 +176,34 @@ def test_detection_records_with_jpeg(tmp_path, tiny_dataset):
     assert rec["rects"].shape == (1, 4)
 
 
+def test_detection_records_augmented(tmp_path, tiny_dataset):
+    """--augment bakes the reference's offline chain (original + flip +
+    zoom-crop + blur per sample, create_training_lmdb.py:296-356) and
+    keeps rect/label alignment through each transform."""
+    from tpufcn.data.records import offline_variants
+    samples = [DetectionSample(s.image_path, s.rect[None, :],
+                               np.array([s.label]))
+               for s in tiny_dataset]
+    prefix = str(tmp_path / "rec" / "aug")
+    n = create_detection_records(samples, prefix, augment=True)
+    assert n >= 3 * len(samples)          # crop variants may drop
+    r = RecordReader(prefix)
+    for i in range(len(r)):
+        rec = r.read(i)
+        assert rec["rects"].shape[0] == rec["labels"].shape[0] >= 1
+        assert rec["image"].ndim == 3
+
+    # flip variant parity: flag -1 mirrors both axes with the -1 shift
+    rng = np.random.default_rng(5)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 255
+    variants = offline_variants(img, [[12, 10, 18, 10]], [2], rng)
+    assert len(variants) in (2, 3, 4)
+    vimg, vrects, vlabels = variants[1]
+    assert vlabels == [2] and len(vrects) == 1
+    assert vimg.shape == img.shape
+
+
 def test_composite_pipeline_batch(tiny_dataset, rng):
     grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
     pipe = CompositeTrainPipeline(

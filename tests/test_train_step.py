@@ -75,6 +75,33 @@ def test_train_step_single_device(rng):
     assert np.abs(after - before).sum() > 0  # params actually moved
 
 
+def test_sharded_step_matches_single_device(rng):
+    """DP(+spatial) sharding is a pure execution strategy: the (4,2)
+    mesh step must produce the same loss and updated params as the
+    unsharded step on the identical batch (threefry dropout bits are
+    sharding-invariant; only reduction order may differ)."""
+    cfg = _tiny_cfg(mesh=MeshConfig(data=4, space=2))
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    raw = _batch(rng, 8, 64, 64)
+
+    s0 = init_state(model, cfg, (1, 64, 64, 3), rng_seed=3)
+    step_single = make_train_step(model, _tiny_cfg())
+    s1, m1 = step_single(s0, {k: jnp.asarray(v) for k, v in raw.items()})
+
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    s0b = init_state(model, cfg, (1, 64, 64, 3), rng_seed=3)
+    step_mesh = make_train_step(model, cfg, mesh=mesh)
+    sh = batch_sharding(mesh)
+    b = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in raw.items()}
+    s2, m2 = step_mesh(s0b, b)
+
+    np.testing.assert_allclose(float(m1["loss_total"]),
+                               float(m2["loss_total"]), rtol=1e-4)
+    la = np.asarray(s1.params["params"]["cvg/classifier"]["conv"]["kernel"])
+    lb = np.asarray(s2.params["params"]["cvg/classifier"]["conv"]["kernel"])
+    np.testing.assert_allclose(la, lb, rtol=1e-3, atol=1e-6)
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
 def test_train_step_sharded_mesh(rng, mesh_shape):
     """Full DP(+spatial) sharded step on the fake 8-device CPU mesh."""

@@ -120,7 +120,7 @@ def _cmd_convert(args):
 def _cmd_records(args):
     from tpufcn.data import create_detection_records, read_detection_manifest
     samples = read_detection_manifest(args.manifest)
-    n = create_detection_records(samples, args.out)
+    n = create_detection_records(samples, args.out, augment=args.augment)
     print(f"wrote {n} records to {args.out}-*.rec")
 
 
@@ -221,6 +221,10 @@ def main(argv=None):
     r = sub.add_parser("records")
     r.add_argument("--manifest", required=True)
     r.add_argument("--out", required=True)
+    r.add_argument("--augment", action="store_true",
+                   help="bake the reference's offline augmentation chain "
+                        "into the shards (original+flip+zoom-crop+blur "
+                        "per sample, create_training_lmdb.py:296-356)")
     r.set_defaults(fn=_cmd_records)
 
     v = sub.add_parser("voc")

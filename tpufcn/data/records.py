@@ -174,26 +174,84 @@ def _glob_prefix(prefix: str) -> List[str]:
             if f.startswith(base + "-")]
 
 
+def offline_variants(image: np.ndarray, rects, labels,
+                     rng: np.random.Generator):
+    """The reference offline-LMDB augmentation chain
+    (create_training_lmdb.py:296-356 ``random_argumentation``): per
+    sample emit [original, flip, flip+anchored zoom-crop, blurred
+    crop].  Flip uses the shared -1-pixel rect transform; the crop
+    window is anchored at the FIRST rect's center with random enlarge
+    factors 2..max(3, floor(imgdim/rectdim)); the blur is a random odd
+    3..7 Gaussian on the cropped variant.  Rects ride each transform
+    (the reference stores one box per record; multi-box manifests
+    shift every box by the crop offset, boxes outside are dropped)."""
+    from tpufcn.data.compositor import flip_image_with_rects
+    labels = [int(l) for l in labels]
+    out = [(image, [list(map(int, r)) for r in rects], labels)]
+
+    flip_flag = int(rng.integers(-1, 2))
+    img_f, rects_f = flip_image_with_rects(image.copy(), rects, flip_flag)
+    out.append((img_f, rects_f, labels))
+
+    ax, ay, aw, ah = [int(v) for v in rects_f[0]]
+    sx = max(int(image.shape[1] / max(aw, 1)), 3)
+    sy = max(int(image.shape[0] / max(ah, 1)), 3)
+    e1 = int(rng.integers(2, sx + 1))
+    e2 = int(rng.integers(2, sy + 1))
+    x = max((ax + aw // 2) - aw * e1, 0)
+    y = max((ay + ah // 2) - ah * e1, 0)
+    w = aw * e1 + aw * e2
+    h = ah * e1 + ah * e2
+    crop = img_f[y:y + h, x:x + w].copy()
+    crop_rects, crop_labels = [], []
+    for (rx, ry, rw, rh), lab in zip(rects_f, labels):
+        nx, ny = int(rx - x), int(ry - y)
+        if 0 <= nx < crop.shape[1] and 0 <= ny < crop.shape[0]:
+            crop_rects.append([nx, ny, int(rw), int(rh)])
+            crop_labels.append(lab)
+    if crop.size and crop_rects:
+        out.append((crop, crop_rects, crop_labels))
+        kx = int(rng.integers(3, 8)) | 1
+        ky = int(rng.integers(3, 8)) | 1
+        out.append((cv.GaussianBlur(crop, (kx, ky), 0), crop_rects,
+                    crop_labels))
+    return out
+
+
 def create_detection_records(manifest_samples, out_prefix: str,
                              imread=cv.imread,
-                             shuffle_seed: Optional[int] = 0) -> int:
+                             shuffle_seed: Optional[int] = 0,
+                             augment: bool = False) -> int:
     """Offline dataset build (replaces CreateTrainingLMDB, reference
     scripts/misc/create_training_lmdb.py): raw box+label records, image
-    stored as JPEG.  Returns number of records written."""
+    stored as JPEG.  ``augment`` bakes the reference's offline
+    augmentation chain into the shards (original + flip + zoom-crop +
+    blur per sample — create_training_lmdb.py:296-356).  Returns
+    number of records written."""
     samples = list(manifest_samples)
     if shuffle_seed is not None:
         np.random.default_rng(shuffle_seed).shuffle(samples)
+    rng = np.random.default_rng(shuffle_seed or 0)
     n = 0
     with RecordWriter(out_prefix) as w:
         for s in samples:
             img = imread(s.image_path)
             if img is None:
                 continue
-            w.write_image_record(img, {
-                "rects": np.asarray(s.rects, np.int32),
-                "labels": np.asarray(s.labels, np.int32),
-            })
-            n += 1
+            if augment:
+                for vimg, vrects, vlabels in offline_variants(
+                        img, s.rects, s.labels, rng):
+                    w.write_image_record(vimg, {
+                        "rects": np.asarray(vrects, np.int32),
+                        "labels": np.asarray(vlabels, np.int32),
+                    })
+                    n += 1
+            else:
+                w.write_image_record(img, {
+                    "rects": np.asarray(s.rects, np.int32),
+                    "labels": np.asarray(s.labels, np.int32),
+                })
+                n += 1
     return n
 
 
