@@ -84,6 +84,32 @@ def test_fp8_serving_mode_agrees_with_exact(rng):
     assert r.boxes.shape[0] == 2
 
 
+def test_detector_mesh_sharded_serving_matches(rng):
+    """Multi-chip DP serving (shard_map over the data axis): identical
+    DetectionResult to the single-device detector on the same frames
+    (per-example pipeline — sharding is pure execution strategy)."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import DetectorConfig, GridConfig, MeshConfig
+    from tpufcn.core.mesh import make_mesh
+    from tpufcn.serve.detector import Detector
+
+    cfg = DetectorConfig(grid=GridConfig(64, 64, stride=8, num_classes=2),
+                         model="vgg_detectnet_train", max_candidates=32)
+    base = Detector("vgg_detectnet_train", config=cfg, dtype=jnp.float32,
+                    model_kwargs={"num_classes": 2})
+    mesh = make_mesh(MeshConfig(data=8, space=1))
+    sharded = Detector("vgg_detectnet_train", config=cfg, dtype=jnp.float32,
+                       params=base.params, model_kwargs={"num_classes": 2},
+                       mesh=mesh)
+    frames = rng.integers(0, 256, (8, 64, 64, 3)).astype(np.uint8)
+    a = base(frames)
+    b = sharded(frames)
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.confidence),
+                               np.asarray(b.confidence), rtol=1e-6)
+
+
 def test_vgg_serving_mode_agrees_with_exact(rng):
     """e5m2 activation storage on the VGG pyramid deploy net (C17):
     coverage close to exact; pipeline runs end to end."""

@@ -141,7 +141,8 @@ class Detector:
                  dtype=jnp.bfloat16,
                  max_candidates: int = 512,
                  rng_seed: int = 0,
-                 model_kwargs: Optional[dict] = None):
+                 model_kwargs: Optional[dict] = None,
+                 mesh=None):
         self.spec = get_spec(model_name)
         model_kwargs = dict(model_kwargs or {})
         self.model = build_model(model_name, dtype=dtype, **model_kwargs)
@@ -156,7 +157,26 @@ class Detector:
             x0 = jnp.zeros((1, grid.im_height, grid.im_width, 3), jnp.float32)
             params = jax.jit(self.model.init)(jax.random.key(rng_seed), x0)
         self.params = params
-        self._infer = jax.jit(self._infer_impl)
+        self.mesh = mesh
+        self._frames_sharding = None
+        if mesh is None:
+            self._infer = jax.jit(self._infer_impl)
+        else:
+            # Multi-chip DP serving: shard the batch over the mesh's
+            # ``data`` axis with shard_map — each chip runs the FULL
+            # per-shard pipeline (forward + decode + NMS, including the
+            # Pallas groupRectangles kernel, which has no GSPMD
+            # partitioning rule and therefore must stay per-shard).
+            # Batch size must be a multiple of the data-axis size.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from tpufcn.core.mesh import DATA_AXIS
+            sharded = shard_map(
+                self._infer_impl, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_rep=False)
+            self._infer = jax.jit(sharded)
+            self._frames_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     # number of foreground classes actually decoded
     @property
@@ -214,7 +234,10 @@ class Detector:
 
     def __call__(self, frames) -> DetectionResult:
         """frames: (B, H, W, 3) BGR, uint8 or float in [0, 255]."""
-        return self._infer(self.params, jnp.asarray(frames))
+        frames = jnp.asarray(frames)
+        if self._frames_sharding is not None:
+            frames = jax.device_put(frames, self._frames_sharding)
+        return self._infer(self.params, frames)
 
     def forward_fn(self):
         """(fn, params) pair for compile checks / benchmarking the raw
