@@ -112,7 +112,7 @@ def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
     snap = str(tmp_path / "snap")
     try:
         main(["train", "--recipe", "_tiny_cli_test", "--records", prefix,
-              "--snapshot-dir", snap])
+              "--snapshot-dir", snap, "--cache", "2"])
         assert "trained to step 2" in capsys.readouterr().out
         main(["eval", "--manifest", man, "--format", "detection",
               "--model", "vgg_detectnet_train", "--weights", snap])

@@ -62,8 +62,17 @@ def _cmd_train(args):
         samples = read_mask_manifest(args.manifest)
         pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
                                       backgrounds=args.backgrounds)
-    trainer = Trainer(cfg, with_seg=with_seg)
-    state = trainer.fit(iter(pipe))
+    if args.cache > 0:
+        # device-resident epoch cache: compose/read N batches once,
+        # upload once, train epochs from HBM (see DeviceBatchCache)
+        from tpufcn.data import DeviceBatchCache
+        trainer = Trainer(cfg, with_seg=with_seg,
+                          steps_per_dispatch=args.cache)
+        src = iter(DeviceBatchCache(trainer.put, iter(pipe), args.cache))
+    else:
+        trainer = Trainer(cfg, with_seg=with_seg)
+        src = iter(pipe)
+    state = trainer.fit(src)
     print(f"trained to step {int(state.step)}; snapshots in "
           f"{cfg.snapshot_dir}")
 
@@ -200,6 +209,10 @@ def main(argv=None):
     t.add_argument("--snapshot-dir", default=None)
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")
+    t.add_argument("--cache", type=int, default=0,
+                   help="device-resident batch cache: build N batches "
+                        "once, train epochs over them from HBM (fast on "
+                        "slow hosts / remote-TPU tunnels)")
     t.set_defaults(fn=_cmd_train)
 
     d = sub.add_parser("detect")
