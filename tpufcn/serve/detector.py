@@ -236,6 +236,12 @@ class Detector:
         """frames: (B, H, W, 3) BGR, uint8 or float in [0, 255]."""
         frames = jnp.asarray(frames)
         if self._frames_sharding is not None:
+            from tpufcn.core.mesh import DATA_AXIS
+            n = self.mesh.shape[DATA_AXIS]
+            if frames.shape[0] % n:
+                raise ValueError(
+                    f"sharded serving needs batch size divisible by the "
+                    f"mesh data axis ({n}); got {frames.shape[0]}")
             frames = jax.device_put(frames, self._frames_sharding)
         return self._infer(self.params, frames)
 
