@@ -157,7 +157,8 @@ def main():
 
     # modern-backbone swap (BASELINE config #5)
     det_r = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
-                     max_candidates=256)
+                     max_candidates=256,
+                     model_kwargs={"store_dtype": jnp.float8_e5m2})
     resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
 
     maps = _map_synthetic()

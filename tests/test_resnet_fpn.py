@@ -11,6 +11,23 @@ from tpufcn.serve.detector import Detector
 from tpufcn.train.step import init_state, make_train_step
 
 
+def test_store_dtype_agrees_with_exact(rng):
+    """e5m2 block-output storage: coverage close to exact (GroupNorm
+    stats computed in f32 BEFORE storage; verified mAP 1.0 both modes
+    on a trained run — BENCH.md)."""
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.models import build
+    exact = build("resnet_fpn_detectnet", dtype=jnp.bfloat16)
+    fast = build("resnet_fpn_detectnet", dtype=jnp.bfloat16,
+                 store_dtype=jnp.float8_e5m2)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    p = exact.init(jax.random.key(0), x)
+    a = exact.apply(p, x)["coverage"]
+    b = fast.apply(p, x)["coverage"]
+    assert float(jnp.abs(a - b).mean()) < 0.05
+
+
 def test_shapes_and_contract():
     model = build("resnet_fpn_detectnet", dtype=jnp.float32, num_classes=3)
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)

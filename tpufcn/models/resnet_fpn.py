@@ -32,6 +32,11 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    # Serving: store the block OUTPUT (post-GN, post-relu) compactly —
+    # GroupNorm statistics are computed in f32 BEFORE storage, so the
+    # normalizer is unaffected; consumers are the next block's conv
+    # prologue and the elementwise shortcut add.
+    store_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -50,7 +55,10 @@ class BasicBlock(nn.Module):
                                dtype=self.dtype, name="down")(x)
             residual = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
                                     name="gn_down")(residual)
-        return nn.relu(y + residual.astype(y.dtype)).astype(self.dtype)
+        out = nn.relu(y + residual.astype(y.dtype)).astype(self.dtype)
+        if self.store_dtype is not None:
+            out = out.astype(self.store_dtype)
+        return out
 
 
 class ResNetFPNDetectNet(nn.Module):
@@ -61,6 +69,7 @@ class ResNetFPNDetectNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     fpn_channels: int = 256
     dtype: Any = jnp.bfloat16
+    store_dtype: Any = None    # serving: compact block-output storage
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -71,6 +80,8 @@ class ResNetFPNDetectNet(nn.Module):
                     dtype=self.dtype, name="stem_conv")(x)
         y = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="stem_gn")(y)
         y = nn.relu(y).astype(self.dtype)
+        if self.store_dtype is not None:
+            y = y.astype(self.store_dtype)   # stem out (max pool is exact)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         taps = {}
@@ -78,6 +89,7 @@ class ResNetFPNDetectNet(nn.Module):
             for bi in range(n):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 y = BasicBlock(w, stride, dtype=self.dtype,
+                               store_dtype=self.store_dtype,
                                name=f"stage{si + 1}_block{bi}")(y)
             taps[f"c{si + 2}"] = y       # c2 (s4) .. c5 (s32)
 
