@@ -19,25 +19,45 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_dataset(root, rng, n=8):
+def make_dataset(root, rng, n=8, classes=1):
+    """Synthetic masked-object dataset; ``classes`` > 1 gives each class
+    a distinct texture family and mask shape (box / ellipse / stripes)
+    so multiclass coverage heads have something separable to learn."""
     from tpufcn.data.manifest import MaskSample
     os.makedirs(root, exist_ok=True)
     samples = []
-    for i in range(n):
+    for i in range(max(n, classes)):
+        c = i % classes
         img = rng.integers(0, 70, size=(160, 200, 3)).astype(np.uint8)
         w, h = int(rng.integers(40, 70)), int(rng.integers(40, 70))
         x, y = int(rng.integers(0, 200 - w)), int(rng.integers(0, 160 - h))
         gy, gx = np.mgrid[0:h, 0:w]
-        img[y:y + h, x:x + w] = np.stack(
-            [220 - gx * 2, 60 + gy * 2, 120 + ((gx + gy) % 6) * 18],
-            -1).clip(0, 255).astype(np.uint8)
+        if c == 0:
+            tex = np.stack(
+                [220 - gx * 2, 60 + gy * 2, 120 + ((gx + gy) % 6) * 18], -1)
+        elif c == 1:
+            tex = np.stack(
+                [40 + ((gx // 4) % 2) * 170, 200 - gy, 60 + gx], -1)
+        else:
+            tex = np.stack(
+                [90 + ((gy // 3) % 2) * 140, 50 + ((gx + 2 * gy) % 9) * 20,
+                 230 - gx - gy], -1)
         mask = np.zeros((160, 200), np.uint8)
-        mask[y:y + h, x:x + w] = 255
+        if c == 1:
+            mk = np.zeros((h, w), np.uint8)
+            cv.ellipse(mk, (w // 2, h // 2), (w // 2 - 1, h // 2 - 1),
+                       0, 0, 360, 255, -1)
+            mask[y:y + h, x:x + w] = mk
+        else:
+            mask[y:y + h, x:x + w] = 255
+        region = img[y:y + h, x:x + w]
+        m = mask[y:y + h, x:x + w] > 0
+        region[m] = tex.clip(0, 255).astype(np.uint8)[m]
         ip = os.path.join(root, f"img{i:03d}.png")
         mp = os.path.join(root, f"msk{i:03d}.png")
         cv.imwrite(ip, img)
         cv.imwrite(mp, mask)
-        samples.append(MaskSample(ip, mp, 0, np.array([x, y, w, h])))
+        samples.append(MaskSample(ip, mp, c, np.array([x, y, w, h])))
     return samples
 
 
@@ -49,6 +69,9 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="scene-builder worker processes (0 = one "
                          "prefetch thread; use cores-1 on real hosts)")
+    ap.add_argument("--classes", type=int, default=1,
+                    help="synthetic object classes (distinct textures/"
+                         "shapes; multiclass coverage heads)")
     ap.add_argument("--cache", type=int, default=0,
                     help="device-resident batch cache: compose N "
                          "batches once, train epochs over them from HBM "
@@ -66,16 +89,20 @@ def main():
 
     rng = np.random.default_rng(0)
     data_dir = os.path.join(args.out, "data")
-    samples = make_dataset(data_dir, rng)
+    samples = make_dataset(data_dir, rng,
+                           n=max(8, 4 * args.classes),
+                           classes=args.classes)
 
-    grid = GridConfig(im_width=128, im_height=128, stride=8, num_classes=1)
+    grid = GridConfig(im_width=128, im_height=128, stride=8,
+                      num_classes=args.classes)
     cfg = TrainConfig(
         grid=grid, model="vgg_detectnet_train",
         data=DataConfig(batch_size=args.batch),
         optimizer="adam", learning_rate=3e-4, lr_decay_step=0,
         max_iter=args.steps, snapshot_every=0,
         snapshot_dir=os.path.join(args.out, "snap"), log_every=20)
-    model = build("vgg_detectnet_train", dtype=jnp.bfloat16, num_classes=1)
+    model = build("vgg_detectnet_train", dtype=jnp.bfloat16,
+                  num_classes=args.classes)
     # multi-step dispatch amortizes per-dispatch overhead (dominant
     # through the remote-TPU tunnel; see CLAUDE.md)
     trainer = Trainer(cfg, model=model,
@@ -105,7 +132,8 @@ def main():
     print(f"trained {int(state.step)} steps")
 
     det = Detector("vgg_detectnet_train", dtype=jnp.bfloat16,
-                   max_candidates=128, model_kwargs={"num_classes": 1})
+                   max_candidates=128,
+                   model_kwargs={"num_classes": args.classes})
     det.params = state.params
 
     out_dir = os.path.join(args.out, "detections")
@@ -116,7 +144,9 @@ def main():
     batch = test_pipe.batch(8)
     results = det(batch["image"])
     for i, dets in enumerate(results.to_lists()[:4]):
-        overlay = draw_detections(batch["image"][i], dets, names=["object"])
+        overlay = draw_detections(
+            batch["image"][i], dets,
+            names=[f"object{c}" for c in range(args.classes)])
         path = os.path.join(out_dir, f"det{i}.png")
         cv.imwrite(path, overlay)
         print(f"{path}: {len(dets)} detections "
@@ -136,7 +166,8 @@ def main():
         r = batch["rects"][i][v]
         corners = np.concatenate([r[:, :2], r[:, :2] + r[:, 2:4]], axis=1)
         gts.append((corners, batch["labels"][i][v]))
-    ev = evaluate_detections(gts, dets_all, num_classes=1, iou_thresh=0.5)
+    ev = evaluate_detections(gts, dets_all,
+                             num_classes=args.classes, iou_thresh=0.5)
     print(f"held-out mAP@0.5: {ev['mAP']:.3f} over "
           f"{batch['image'].shape[0]} composite frames")
 

@@ -204,6 +204,37 @@ def test_detection_records_augmented(tmp_path, tiny_dataset):
     assert vimg.shape == img.shape
 
 
+def test_multiclass_synthetic_dataset_pipeline(tmp_path, rng):
+    """examples.demo.make_dataset(classes=3): per-class textures/shapes,
+    labels flow through the compositor batch and the grid-label encoder
+    puts coverage on the right class channel."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from demo import make_dataset
+    from tpufcn.ops.grid_codec import encode_grid_labels_batch
+    import jax.numpy as jnp
+
+    samples = make_dataset(str(tmp_path), rng, n=9, classes=3)
+    assert sorted({s.label for s in samples}) == [0, 1, 2]
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=3)
+    pipe = CompositeTrainPipeline(samples, grid, DataConfig(batch_size=4),
+                                  box_capacity=4, seed=1)
+    b = pipe.batch(4)
+    labs = b["labels"][b["valid"]]
+    assert labs.min() >= 0 and labs.max() <= 2
+    enc = encode_grid_labels_batch(jnp.asarray(b["rects"]),
+                                   jnp.asarray(b["labels"]),
+                                   jnp.asarray(b["valid"]), grid)
+    cov = np.asarray(enc.coverage)          # (B, gh, gw, 3)
+    assert cov.shape[-1] == 3
+    # every valid GT label's channel has some coverage somewhere
+    for i in range(4):
+        for lab in np.unique(b["labels"][i][b["valid"][i]]):
+            assert cov[i, :, :, int(lab)].max() > 0
+
+
 def test_composite_pipeline_batch(tiny_dataset, rng):
     grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
     pipe = CompositeTrainPipeline(
