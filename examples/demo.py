@@ -107,28 +107,29 @@ def main():
     # through the remote-TPU tunnel; see CLAUDE.md)
     trainer = Trainer(cfg, model=model,
                       steps_per_dispatch=args.cache if args.cache else 4)
-    if args.cache > 0:
-        from tpufcn.data import DeviceBatchCache
-        pipe = CompositeTrainPipeline(samples, grid,
-                                      DataConfig(batch_size=args.batch),
-                                      box_capacity=4, seed=1)
-        cache = DeviceBatchCache(trainer.put, iter(pipe), args.cache)
-        state = trainer.fit(iter(cache), max_iter=args.steps)
-    elif args.workers > 0:
+    parallel_pipe = None
+    if args.workers > 0:
         from tpufcn.data.parallel import ParallelCompositePipeline
-        pipe = ParallelCompositePipeline(samples, grid,
-                                         DataConfig(batch_size=args.batch),
-                                         box_capacity=4, seed=1,
-                                         workers=args.workers)
-        state = trainer.fit(iter(pipe), max_iter=args.steps)
-        pipe.close()
+        parallel_pipe = ParallelCompositePipeline(
+            samples, grid, DataConfig(batch_size=args.batch),
+            box_capacity=4, seed=1, workers=args.workers)
+        src = iter(parallel_pipe)
     else:
         pipe = CompositeTrainPipeline(samples, grid,
                                       DataConfig(batch_size=args.batch),
                                       box_capacity=4, seed=1)
+        src = iter(pipe)
+    if args.cache > 0:
+        # wrap whichever builder was chosen (workers still parallelize
+        # the one-time cache fill), then train epochs from HBM
+        from tpufcn.data import DeviceBatchCache
+        src = iter(DeviceBatchCache(trainer.put, src, args.cache))
+    elif args.workers == 0:
         from tpufcn.data import prefetch
-        state = trainer.fit(prefetch(iter(pipe), depth=4),
-                            max_iter=args.steps)
+        src = prefetch(src, depth=4)
+    state = trainer.fit(src, max_iter=args.steps)
+    if parallel_pipe is not None:
+        parallel_pipe.close()
     print(f"trained {int(state.step)} steps")
 
     det = Detector("vgg_detectnet_train", dtype=jnp.bfloat16,

@@ -68,6 +68,33 @@ def test_trainer_steps_per_dispatch(rng, tmp_path):
     assert len(tr.logger.history) == 2   # one log per dispatch
 
 
+def test_device_batch_cache_edge_cases(rng, tmp_path):
+    """n_batches=1 with steps_per_dispatch=1 trains (regression: the 5D
+    one-batch cache crashed the single-step path); a steps mismatch
+    raises instead of silently training the wrong cadence."""
+    import pytest
+    from tpufcn.data import DeviceBatchCache
+    from tpufcn.train.trainer import Trainer
+
+    grid = GridConfig(64, 64, 8, 2)
+    cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
+                      data=DataConfig(batch_size=2),
+                      snapshot_every=0, max_iter=2,
+                      snapshot_dir=str(tmp_path / "s"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    tr = Trainer(cfg, model=model, steps_per_dispatch=1,
+                 log_sink=lambda s: None)
+    cache = DeviceBatchCache(tr.put, iter(_batches(rng, 1)), n_batches=1)
+    state = tr.fit(iter(cache), max_iter=2)
+    assert int(state.step) == 2
+
+    tr2 = Trainer(cfg, model=model, steps_per_dispatch=3,
+                  log_sink=lambda s: None)
+    bad = DeviceBatchCache(tr2.put, iter(_batches(rng, 2)), n_batches=2)
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        tr2.fit(iter(bad), max_iter=6)
+
+
 def test_device_batch_cache_sharded_mesh(rng, tmp_path):
     """Cache + multi-step dispatch on the fake 8-device CPU mesh: the
     stacked batch is placed with a replicated steps axis + DP/spatial

@@ -191,8 +191,12 @@ class DeviceBatchCache:
                  n_batches: int):
         from tpufcn.train.step import stack_batches
         self.n_batches = n_batches
-        self.batch = put(stack_batches(
-            [next(source) for _ in range(n_batches)]))
+        stacked = stack_batches([next(source) for _ in range(n_batches)])
+        try:
+            # Trainer.put: replicate the leading steps axis on a mesh
+            self.batch = put(stacked, stacked=True)
+        except TypeError:
+            self.batch = put(stacked)
 
     def __iter__(self):
         while True:

@@ -171,6 +171,14 @@ class Detector:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import NamedSharding, PartitionSpec as P
             from tpufcn.core.mesh import DATA_AXIS
+            extra = {a: n for a, n in mesh.shape.items()
+                     if a != DATA_AXIS and n > 1}
+            if extra:
+                raise ValueError(
+                    f"Detector(mesh=...) shards over '{DATA_AXIS}' only; "
+                    f"mesh has extra non-trivial axes {extra} whose chips "
+                    "would run redundant replicas — pass a data-only "
+                    "mesh, e.g. make_mesh(MeshConfig(data=N))")
             sharded = shard_map(
                 self._infer_impl, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),

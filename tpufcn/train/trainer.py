@@ -159,15 +159,27 @@ class Trainer:
         start = int(state.step)
 
         n_multi = self.steps_per_dispatch
+        if n_multi > 1 and (max_iter - start) % n_multi:
+            self.logger.sink(
+                f"note: max_iter {max_iter} is not a multiple of "
+                f"steps_per_dispatch {n_multi}; training stops at step "
+                f"{start + -(-(max_iter - start) // n_multi) * n_multi}")
         pending = []
         last_snap = start
         for batch in batches:
             if int(state.step) >= max_iter:
                 break
+            prestacked = getattr(batch["image"], "ndim", 0) == 5
+            if prestacked and batch["image"].shape[0] != n_multi:
+                raise ValueError(
+                    f"pre-stacked batch carries {batch['image'].shape[0]} "
+                    f"steps but steps_per_dispatch={n_multi}; construct "
+                    "the Trainer with steps_per_dispatch == the cache's "
+                    "n_batches")
             if n_multi > 1:
-                if getattr(batch["image"], "ndim", 0) == 5:
-                    # pre-stacked (N, B, ...) device-resident batch
-                    # (DeviceBatchCache): dispatch directly, no re-upload
+                if prestacked:
+                    # (N, B, ...) device-resident batch (DeviceBatchCache):
+                    # dispatch directly, no re-upload
                     b, bs = batch, batch["image"].shape[1]
                 else:
                     pending.append(batch)
@@ -183,8 +195,12 @@ class Trainer:
                 last = {k: v[-1] for k, v in metrics.items()}
                 self.logger.update(int(state.step), last, bs * n_multi)
             else:
-                b = self.put(batch)
-                bs = batch["image"].shape[0]
+                if prestacked:
+                    # one-batch cache: unstack the leading length-1 axis
+                    b = {k: v[0] for k, v in batch.items()}
+                else:
+                    b = self.put(batch)
+                bs = b["image"].shape[0]
                 state, metrics = self.step_fn(state, b)
                 self.logger.update(int(state.step), metrics, bs)
             # Snapshot whenever a cadence boundary was CROSSED since the
