@@ -28,11 +28,13 @@ _SLOW = {
     "test_cli_launch.py::test_launch_graph_detector",
     "test_cli_launch.py::test_cli_detect_inprocess",
     "test_cli_launch.py::test_cli_train_records_eval_weights",
+    "test_cli_launch.py::test_cli_replay",
     "test_e2e_train_detect.py::test_train_snapshot_serve_roundtrip",
     "test_detector_parity.py::test_detector_rescale_truncation",
     "test_detector_parity.py::test_detector_matches_golden_flow",
     "test_multi_step.py::test_trainer_steps_per_dispatch",
     "test_multi_step.py::test_device_batch_cache_epoch_training",
+    "test_multi_step.py::test_device_batch_cache_edge_cases",
     "test_multi_step.py::test_device_batch_cache_sharded_mesh",
     "test_multi_step.py::test_multi_step_matches_sequential",
     "test_train_step.py::test_train_step_sharded_mesh",

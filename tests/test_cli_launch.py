@@ -66,6 +66,23 @@ def test_cli_detect_inprocess(tmp_path, rng, capsys):
     assert rec["image"] == p and "detections" in rec
 
 
+def test_cli_replay(tmp_path, rng, capsys):
+    """`replay` = the rosbag-play analog: frames stream through the bus
+    into the detector node, one rects message per frame."""
+    paths = []
+    for i in range(3):
+        img = rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    from tpufcn.cli import main
+    main(["replay", *paths, "--model", "googlenet_detectnet_1cls"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"frames_processed": 3}
+    assert len(lines) == 4 and all("detections" in l for l in lines[:-1])
+
+
 def test_cli_records_and_voc(tmp_path, rng):
     img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
     ip = str(tmp_path / "a.png")

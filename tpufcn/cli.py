@@ -6,6 +6,8 @@ Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
   convert   .caffemodel -> checkpoint
   records   build record shards from a manifest (LMDB writer analog)
   voc       Pascal VOC -> manifests (scripts/voc analog)
+  replay    stream frame files through the detector node graph
+            (roslaunch + `rosbag play` analog)
   bench     the headline throughput benchmark
   pointmap  build the C++ point-map library
 
@@ -183,6 +185,51 @@ def _cmd_eval(args):
                       "images": len(images)}))
 
 
+def _cmd_replay(args):
+    """Bag-replay analog (reference: roslaunch + `rosbag play` into the
+    detector node).  Frame files stream through the topic bus one per
+    stamp; --micro-batch switches to the batched single-dispatch
+    throughput mode (BASELINE config #2)."""
+    import cv2 as cv
+    import numpy as np
+
+    frames = []
+    for p in args.images:
+        img = cv.imread(p)
+        if img is not None:
+            frames.append(img)
+    if not frames:
+        raise SystemExit("no readable frames")
+
+    if args.micro_batch > 0:
+        from tpufcn.serve.detector import Detector
+        from tpufcn.serve.stream import replay_throughput
+        det = Detector(args.model)
+        stats = replay_throughput(det, frames,
+                                  micro_batch=min(args.micro_batch,
+                                                  len(frames)))
+        print(json.dumps(stats))
+        return
+
+    from tpufcn.serve.launch import launch
+    from tpufcn.serve.stream import replay
+    params = {"model": args.model}
+    if args.weights:
+        params["pretrained_weights"] = args.weights
+    graph = launch({"fcn_object_detector": {
+        "type": "detector", "params": params,
+        "remap": {"image": "image"}}})
+    rects = []
+    graph.bus.subscribe("/fcn_object_detector/rects",
+                        lambda m: rects.append(m.data), queue_size=10**6)
+    node = graph.nodes["fcn_object_detector"]
+    n = replay(node, frames, bus=graph.bus)
+    for i, r in enumerate(rects):
+        # RectsMsg: two corner points per detection
+        print(json.dumps({"frame": i, "detections": len(r.labels)}))
+    print(json.dumps({"frames_processed": n}))
+
+
 def _cmd_bench(args):
     import runpy
     runpy.run_path("bench.py", run_name="__main__")
@@ -254,6 +301,15 @@ def main(argv=None):
     e.add_argument("--iou", type=float, default=0.5)
     e.add_argument("--limit", type=int, default=10**9)
     e.set_defaults(fn=_cmd_eval)
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("images", nargs="+")
+    rp.add_argument("--model", default="googlenet_detectnet")
+    rp.add_argument("--weights", default=None)
+    rp.add_argument("--micro-batch", type=int, default=0,
+                    help="> 0: batched throughput mode instead of "
+                         "per-frame bus replay")
+    rp.set_defaults(fn=_cmd_replay)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=_cmd_bench)
