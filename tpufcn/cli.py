@@ -155,18 +155,23 @@ def _cmd_eval(args):
     reader = (read_voc_manifest if args.format == "voc"
               else read_detection_manifest)
     samples = reader(args.manifest)
+    mkw = ({"num_classes": args.num_classes}
+           if args.num_classes else {})
     if args.weights and os.path.isdir(args.weights):
         # a Trainer orbax snapshot directory
-        det = Detector.from_checkpoint(args.weights, args.model)
+        det = Detector.from_checkpoint(args.weights, args.model,
+                                       model_kwargs=mkw)
     elif args.weights:
         # a .caffemodel file — reuse the launch-graph loading path
         from tpufcn.serve.launch import _make_detector
         from tpufcn.serve.bus import TopicBus
         det = _make_detector(TopicBus(), {
             "model": args.model, "pretrained_weights": args.weights,
+            **({"num_classes": args.num_classes}
+               if args.num_classes else {}),
         }, {}).detector
     else:
-        det = Detector(args.model)
+        det = Detector(args.model, model_kwargs=mkw)
     images, gts = [], []
     for s in samples[:args.limit]:
         img = cv.imread(s.image_path)
@@ -177,7 +182,7 @@ def _cmd_eval(args):
         corners = np.concatenate(
             [corners[:, :2], corners[:, :2] + corners[:, 2:4]], axis=1)
         gts.append((corners, np.asarray(s.labels)))
-    C = get_spec(args.model).grid.num_classes
+    C = args.num_classes or get_spec(args.model).grid.num_classes
     res = evaluate_detector(det, images, gts, num_classes=C,
                             iou_thresh=args.iou)
     print(json.dumps({"mAP": res["mAP"],
@@ -298,6 +303,9 @@ def main(argv=None):
     e.add_argument("--model", default="vgg_pyramid_detectnet")
     e.add_argument("--weights", default=None,
                    help="orbax snapshot dir or .caffemodel file")
+    e.add_argument("--num-classes", type=int, default=0,
+                   help="override the registry head width (snapshots "
+                        "trained with a non-default class count)")
     e.add_argument("--iou", type=float, default=0.5)
     e.add_argument("--limit", type=int, default=10**9)
     e.set_defaults(fn=_cmd_eval)

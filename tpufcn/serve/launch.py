@@ -48,8 +48,14 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
 
     model_name = params.get("model", "googlenet_detectnet")
     spec = get_spec(model_name)
+    mkw = {}
+    grid = spec.grid
+    if "num_classes" in params:
+        import dataclasses
+        mkw["num_classes"] = int(params["num_classes"])
+        grid = dataclasses.replace(grid, num_classes=mkw["num_classes"])
     cfg = DetectorConfig(
-        grid=spec.grid,
+        grid=grid,
         detection_threshold=params.get("detection_threshold", 0.5),
         min_boxes=params.get("min_boxes", 3),
         nms_eps=params.get("nms_eps", 0.2),
@@ -66,7 +72,7 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
             raise FileNotFoundError(f"PROVIDE PRETRAINED MODEL: {weights}")
         import jax
         from tpufcn.convert import convert_caffemodel
-        model = build(model_name, dtype=jnp.bfloat16)
+        model = build(model_name, dtype=jnp.bfloat16, **mkw)
         g = spec.grid
         init = jax.jit(model.init)(
             jax.random.key(0),
@@ -74,7 +80,8 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         det_params = convert_caffemodel(init, weights, strict=False)
 
     detector = Detector(model_name, config=cfg, params=det_params,
-                        max_candidates=cfg.candidate_capacity)
+                        max_candidates=cfg.candidate_capacity,
+                        model_kwargs=mkw)
     mode = params.get("mode", "boxes")
     tiled = None
     if mode == "tiled":
