@@ -39,6 +39,7 @@ _SLOW = {
     "test_multi_step.py::test_multi_step_matches_sequential",
     "test_train_step.py::test_train_step_sharded_mesh",
     "test_train_step.py::test_sharded_step_matches_single_device",
+    "test_train_step.py::test_sharded_step_hlo_contains_collectives",
     "test_resnet_fpn.py::test_train_step",
     "test_resnet_fpn.py::test_shapes_and_contract",
     "test_resnet_fpn.py::test_serves_through_detector",

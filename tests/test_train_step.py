@@ -75,6 +75,23 @@ def test_train_step_single_device(rng):
     assert np.abs(after - before).sum() > 0  # params actually moved
 
 
+def test_sharded_step_hlo_contains_collectives(rng):
+    """Compilation-level evidence for SURVEY §2.3: the DP axis inserts
+    gradient all-reduces, and the spatial axis inserts the conv halo
+    exchange (collective-permute) — not just 'it runs'."""
+    cfg = _tiny_cfg(mesh=MeshConfig(data=4, space=2))
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, mesh=mesh)
+    raw = _batch(rng, 8, 64, 64)
+    sh = batch_sharding(mesh)
+    b = {k: jax.device_put(jnp.asarray(v), sh[k]) for k, v in raw.items()}
+    hlo = step.lower(state, b).compile().as_text()
+    assert "all-reduce" in hlo          # DP gradient sync
+    assert "collective-permute" in hlo  # spatial halo exchange
+
+
 def test_sharded_step_matches_single_device(rng):
     """DP(+spatial) sharding is a pure execution strategy: the (4,2)
     mesh step must produce the same loss and updated params as the
