@@ -60,6 +60,23 @@ def test_avg_pool_pyramid_sizes(rng):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_avg_pool_ceil_slack_divisor(rng):
+    """Caffe AVE divides edge windows by the CLIPPED size (pooling_layer
+    .cpp: hend = min(hstart+k, height+pad)), not the full kernel area —
+    a 6x6 k3 s2 pool's last windows cover only 2 rows/cols."""
+    x = rng.standard_normal((1, 6, 6, 2), dtype=np.float32)
+    got = np.asarray(avg_pool_caffe(jnp.asarray(x), 3, 2))
+    assert got.shape == (1, 3, 3, 2)
+    # hand golden with the clipped divisor
+    xp = np.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    for i in range(3):
+        for j in range(3):
+            h = min(2 * i + 3, 6) - 2 * i
+            w = min(2 * j + 3, 6) - 2 * j
+            want = xp[0, 2*i:2*i+3, 2*j:2*j+3].sum((0, 1)) / (h * w)
+            np.testing.assert_allclose(got[0, i, j], want, rtol=1e-5)
+
+
 def test_conv_transpose_geometry_and_values(rng):
     # Caffe geometry out = (in-1)*s + k - 2p for the reference deconv
     # configs (k8 s4 p2), (k4 s2 p1), (k16 s8 p4), (k13 s7 p3).

@@ -25,6 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import numpy as np
 
 
 def _lrn_band(c: int, size: int) -> jnp.ndarray:
@@ -106,17 +107,29 @@ def max_pool_caffe(x: jax.Array, kernel: int, stride: int, pad: int = 0) -> jax.
 
 
 def avg_pool_caffe(x: jax.Array, kernel: int, stride: int, pad: int = 0) -> jax.Array:
-    """Ceil-mode average pooling; the divisor is the full kernel area
-    (Caffe counts padded zeros), matching Caffe AVE semantics."""
+    """Ceil-mode average pooling with Caffe's AVE divisor: the window
+    size clipped to the padded extent — Caffe counts padded zeros up to
+    ``in + pad`` but NOT the ceil-slack beyond it
+    (caffe pooling_layer.cpp: ``hend = min(hstart + k, height + pad);
+    pool_size = (hend - hstart) * (wend - wstart)``).  For exact-fit
+    windows (every pool in the committed reference nets) the divisor is
+    the full kernel area, as before."""
     h, w = x.shape[-3], x.shape[-2]
-    _, eh = _ceil_pool_extra(h, kernel, stride, pad)
-    _, ew = _ceil_pool_extra(w, kernel, stride, pad)
+    oh, eh = _ceil_pool_extra(h, kernel, stride, pad)
+    ow, ew = _ceil_pool_extra(w, kernel, stride, pad)
     s = jax.lax.reduce_window(
         x.astype(jnp.float32), 0.0, jax.lax.add,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (pad, pad + eh), (pad, pad + ew), (0, 0)))
-    return (s / float(kernel * kernel)).astype(x.dtype)
+
+    def sizes(n, out_n):
+        starts = np.arange(out_n) * stride - pad
+        return np.minimum(starts + kernel, n + pad) - starts
+
+    div = np.asarray(sizes(h, oh)[:, None] * sizes(w, ow)[None, :],
+                     np.float32)
+    return (s / div[None, :, :, None]).astype(x.dtype)
 
 
 def conv_transpose_caffe(x: jax.Array,

@@ -59,6 +59,10 @@ def create_mask_labels(feat_u8: np.ndarray) -> Optional[Tuple[int, int, int, int
     if not contours:
         return None
     biggest = max(contours, key=cv.contourArea)
+    if cv.contourArea(biggest) <= 0:
+        # reference scan ('max_area < a') keeps index -1 for all
+        # zero-area contours and emits nothing (:289-296)
+        return None
     return cv.boundingRect(biggest)
 
 
@@ -86,10 +90,11 @@ class TiledSegmenter:
         self._fwd = jax.jit(self._fwd_impl)
 
     def _fwd_impl(self, params, tiles):
-        x = jax.image.resize(
-            tiles.astype(jnp.float32),
-            (tiles.shape[0], self.grid.im_height, self.grid.im_width, 3),
-            method="linear")
+        x = tiles.astype(jnp.float32)
+        if tiles.shape[1:3] != (self.grid.im_height, self.grid.im_width):
+            x = jax.image.resize(
+                x, (tiles.shape[0], self.grid.im_height,
+                    self.grid.im_width, 3), method="linear")
         out = self.model.apply(params, x)
         score = out.get("score", out.get("coverage"))
         score = jnp.where(score < self.prob_thresh, 0.0, score)
@@ -111,8 +116,10 @@ class TiledSegmenter:
         for smap, rect in zip(score, rois):
             x, y, w, h = [int(v) for v in rect]
             for cls in range(1, smap.shape[-1]):
-                feat = (smap[..., cls] * 255).astype(np.uint8)
-                feat = cv.resize(feat, (w, h))
+                # resize the FLOAT map, cast after (reference order:
+                # fcn_object_detector.py resizes prob maps pre-cast)
+                feat = cv.resize(smap[..., cls].astype(np.float32), (w, h))
+                feat = (feat * 255).astype(np.uint8)
                 pmap[y:y + h, x:x + w] |= feat
                 r = create_mask_labels(feat)
                 if r is not None:
@@ -125,10 +132,9 @@ class TiledSegmenter:
 def _demean_host(img: np.ndarray) -> np.ndarray:
     """Host copy of the demean+minmax preprocessing for the tiled path
     (the tiles are cropped before resize, matching reference order)."""
+    from tpufcn.core.config import IMAGENET_BGR_MEAN
     x = img.astype(np.float32)
-    x[:, :, 0] -= np.float32(104.0069879317889)
-    x[:, :, 1] -= np.float32(116.66876761696767)
-    x[:, :, 2] -= np.float32(122.6789143406786)
+    x -= np.asarray(IMAGENET_BGR_MEAN, np.float32)
     span = x.max() - x.min()
     # constant tile -> zeros, not NaN (black frames happen on real buses)
     return (x - x.min()) / (span if span > 0 else np.float32(1.0))

@@ -49,7 +49,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
       (train/fcn_bbox/solver.prototxt:1-13).
     Caffe weight decay is L2 added to gradients (all params).
     """
-    if cfg.lr_decay_step > 0 and cfg.optimizer == "adam":
+    # the step schedule honors lr_decay_step for EITHER optimizer (the
+    # reference sgd solvers use lr_policy "fixed", i.e. lr_decay_step=0
+    # in their recipes — but a configured decay must not be silently
+    # ignored just because the solver is sgd)
+    if cfg.lr_decay_step > 0:
         sched = optax.exponential_decay(
             cfg.learning_rate, cfg.lr_decay_step, cfg.lr_gamma,
             staircase=True)
@@ -76,6 +80,35 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
             "seg": NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None))}
 
 
+def make_loss_fn(model, cfg: TrainConfig, with_seg: bool = False,
+                 preprocessing: str = "demean") -> Callable:
+    """(params, batch, dropout_rng) -> (total_loss, metrics) — shared by
+    the single-step and multi-step jitted steps (preprocessing dispatch,
+    on-device grid-label encoding, DetectNet loss graph)."""
+    grid = cfg.grid
+
+    def loss_fn(params, batch, dropout_rng):
+        img = batch["image"]
+        if preprocessing == "demean":
+            from tpufcn.ops.image import demean_bgr
+            img = demean_bgr(img)
+        else:
+            img = jnp.asarray(img, jnp.float32)
+        out = model.apply(params, img, train=True,
+                          rngs={"dropout": dropout_rng})
+        glabels = encode_grid_labels_batch(
+            batch["rects"], batch["labels"], batch["valid"], grid)
+        seg_labels = batch.get("seg") if with_seg else None
+        return detectnet_loss(
+            out, glabels,
+            bbox_weight=cfg.bbox_loss_weight,
+            coverage_weight=cfg.coverage_loss_weight,
+            seg_labels=seg_labels,
+            seg_weight=cfg.seg_loss_weight)
+
+    return loss_fn
+
+
 def make_train_step(model,
                     cfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
@@ -93,27 +126,8 @@ def make_train_step(model,
       valid: (B, M) bool
       seg:   (B, H, W) int32 mask (only when with_seg)
     """
-    grid = cfg.grid
-
-    def loss_fn(params, batch, dropout_rng):
-        img = batch["image"]
-        if preprocessing == "demean":
-            from tpufcn.ops.image import demean_bgr
-            img = demean_bgr(img)
-        else:
-            img = jnp.asarray(img, jnp.float32)
-        out = model.apply(params, img, train=True,
-                          rngs={"dropout": dropout_rng})
-        glabels = encode_grid_labels_batch(
-            batch["rects"], batch["labels"], batch["valid"], grid)
-        seg_labels = batch.get("seg") if with_seg else None
-        total, metrics = detectnet_loss(
-            out, glabels,
-            bbox_weight=cfg.bbox_loss_weight,
-            coverage_weight=cfg.coverage_loss_weight,
-            seg_labels=seg_labels,
-            seg_weight=cfg.seg_loss_weight)
-        return total, metrics
+    loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
+                           preprocessing=preprocessing)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.dropout_rng)
@@ -151,26 +165,8 @@ def make_multi_train_step(model,
     pathological through remote-TPU tunnels, non-trivial everywhere).
     Metrics come back stacked (N,) per key.
     """
-    grid = cfg.grid
-
-    def loss_fn(params, batch, dropout_rng):
-        img = batch["image"]
-        if preprocessing == "demean":
-            from tpufcn.ops.image import demean_bgr
-            img = demean_bgr(img)
-        else:
-            img = jnp.asarray(img, jnp.float32)
-        out = model.apply(params, img, train=True,
-                          rngs={"dropout": dropout_rng})
-        glabels = encode_grid_labels_batch(
-            batch["rects"], batch["labels"], batch["valid"], grid)
-        seg_labels = batch.get("seg") if with_seg else None
-        return detectnet_loss(
-            out, glabels,
-            bbox_weight=cfg.bbox_loss_weight,
-            coverage_weight=cfg.coverage_loss_weight,
-            seg_labels=seg_labels,
-            seg_weight=cfg.seg_loss_weight)
+    loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
+                           preprocessing=preprocessing)
 
     def multi(state: TrainState, stacked_batch):
         def body(st, batch):

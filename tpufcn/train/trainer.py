@@ -39,22 +39,29 @@ class MetricLogger:
         self.sink = sink
         self._t0 = time.perf_counter()
         self._imgs = 0
+        self._step0: Optional[int] = None   # first step seen (resume-aware)
         self.history: list = []
 
     def update(self, step: int, metrics: Dict[str, jax.Array],
                batch_size: int):
         self._imgs += batch_size
+        if self._step0 is None:
+            self._step0 = step - 1   # steps completed before this session
+        # smoothed loss over the last avg_window ITERATIONS (Caffe
+        # solver average_loss semantics), appended every step — the
+        # early return below only gates printing
+        self.window.append(float(metrics["loss_total"]))
+        self.window = self.window[-self.avg_window:]
         if step % self.log_every:
             return
         vals = {k: float(v) for k, v in metrics.items()}
-        self.window.append(vals["loss_total"])
-        self.window = self.window[-self.avg_window:]
         dt = time.perf_counter() - self._t0
         ips = self._imgs / dt if dt > 0 else 0.0
+        done = max(step - self._step0, 1)   # steps THIS session
         line = (f"iter {step}: loss={np.mean(self.window):.6f} "
                 + " ".join(f"{k}={v:.5f}" for k, v in vals.items()
                            if k != "loss_total")
-                + f" ({ips:.1f} img/s, {dt / max(step, 1) * 1000:.1f} ms/it)")
+                + f" ({ips:.1f} img/s, {dt / done * 1000:.1f} ms/it)")
         self.history.append({"step": step, **vals, "img_per_sec": ips})
         self.sink(line)
 
@@ -157,6 +164,8 @@ class Trainer:
         if resume:
             state = self.restore_latest(state)
         start = int(state.step)
+        if self.logger._step0 is None:
+            self.logger._step0 = start   # resume-aware ms/it accounting
 
         n_multi = self.steps_per_dispatch
         if n_multi > 1 and (max_iter - start) % n_multi:
@@ -212,6 +221,11 @@ class Trainer:
                     > last_snap // cfg.snapshot_every):
                 self.save(state)
                 last_snap = int(state.step)
+        if pending:
+            self.logger.sink(
+                f"note: {len(pending)} trailing batch(es) smaller than a "
+                f"{n_multi}-step dispatch were not trained (source "
+                "exhausted mid-dispatch)")
         if int(state.step) > start:
             self.save(state)
         return state
