@@ -85,6 +85,25 @@ def test_convert_rejects_shape_mismatch(tmp_path, rng):
         convert_caffemodel(params, p)
 
 
+def test_legacy_4d_bias_blob_is_squeezed(rng, monkeypatch):
+    """Legacy (V1LayerParameter) caffemodels parse biases as 4-D
+    num/channels/height/width blobs; they must load, not silently drop
+    (regression: dropped biases left legacy pretrained nets all-zero)."""
+    import tpufcn.convert.convert as cc
+    model = build("googlenet_detectnet", dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    kshape = np.asarray(
+        params["params"]["cvg/classifier"]["conv"]["kernel"]).shape  # HWIO
+    w = rng.standard_normal(
+        (kshape[3], kshape[2], kshape[0], kshape[1]), dtype=np.float32)
+    bias = rng.standard_normal((kshape[3],), dtype=np.float32)
+    monkeypatch.setattr(cc, "load_caffemodel", lambda _: {
+        "cvg/classifier": [w, bias.reshape(1, 1, 1, -1)]})
+    out = cc.convert_caffemodel(params, "/nonexistent", strict=False)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["cvg/classifier"]["conv"]["bias"]), bias)
+
+
 def test_vgg_ilsvrc_name_mapping(tmp_path, rng):
     """The reference fine-tunes from VGG16 ILSVRC weights
     (train/bounding_box/train.sh --weights); those caffemodels use bare

@@ -204,6 +204,22 @@ def test_detection_records_augmented(tmp_path, tiny_dataset):
     assert vimg.shape == img.shape
 
 
+def test_zoom_crop_keeps_label_map_aligned(rng):
+    """zoom_crop must crop the seg label map with the image's window
+    (the reference crops only the image — a seg-supervision bug, fixed
+    here; see compositor.zoom_crop docstring)."""
+    from tpufcn.data.compositor import zoom_crop
+    img = np.zeros((100, 120, 3), np.uint8)
+    lm = np.zeros((100, 120), np.uint8)
+    img[30:50, 40:70] = 200
+    lm[30:50, 40:70] = 5
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        roi, rect, lm2 = zoom_crop(img, [40, 30, 30, 20], r, lm)
+        assert roi.shape[:2] == lm2.shape
+        np.testing.assert_array_equal(roi[..., 0] == 200, lm2 == 5)
+
+
 def test_multiclass_synthetic_dataset_pipeline(tmp_path, rng):
     """examples.demo.make_dataset(classes=3): per-class textures/shapes,
     labels flow through the compositor batch and the grid-label encoder
@@ -249,6 +265,21 @@ def test_composite_pipeline_batch(tiny_dataset, rng):
 def test_prefetch_wraps_iterator():
     out = list(prefetch(iter(range(5)), depth=2))
     assert out == [0, 1, 2, 3, 4]
+
+
+def test_prefetch_propagates_source_errors():
+    """A crashing source must raise in the consumer, not silently look
+    like end-of-data (training stopping early with zero diagnostics)."""
+    import pytest
+
+    def bad():
+        yield 1
+        raise FileNotFoundError("corrupt image")
+
+    it = prefetch(bad(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(FileNotFoundError, match="corrupt image"):
+        list(it)
 
 
 def test_parallel_pipeline_batches(tiny_dataset):

@@ -129,3 +129,32 @@ def test_fused_mask_polarity(lib):
     assert k == 1
     sel = labels >= 0
     assert sel[:, 60:].sum() >= 900 and sel[:, :40].sum() == 0
+
+
+def test_overlapping_matched_rects_no_double_flip(lib):
+    """Two disjoint regions whose bounding rects OVERLAP, both matched.
+
+    A per-rect XOR would flip the nested region's pixels twice (once
+    for each covering rect) and erase it; the reference copies regions
+    then applies ONE global bitwise_xor, so overlap must be idempotent
+    (regression for the fused-mask rewrite in fcn_point_map.cpp).
+    """
+    h, w = 70, 110
+    cloud = np.zeros((h, w, 3), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    cloud[..., 0] = xs * 0.01
+    cloud[..., 1] = ys * 0.01
+    cloud[..., 2] = 1.0
+    mask = np.zeros((h, w), np.uint8)
+    # region A: an L whose bounding rect encloses region B's rect
+    mask[5:56, 5:16] = 220      # vertical bar
+    mask[45:56, 5:66] = 220     # horizontal bar (connected to it)
+    # region B: disjoint blob nested inside A's bounding rect
+    mask[10:36, 30:61] = 220
+    pmap = mask.copy()          # every region rect matches itself
+
+    labels, k = lib.process(cloud, mask, pmap, cluster_tol=0.03,
+                            min_cluster=100, keep_matched=True)
+    assert k == 2               # B survives: no double-flip in overlap
+    sel = labels >= 0
+    assert sel[10:36, 30:61].sum() >= 700

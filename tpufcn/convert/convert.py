@@ -116,8 +116,20 @@ def convert_caffemodel(params: Dict[str, Any],
             unmatched.append(layer)
             continue
         updates = {"kernel": conv_blob_to_hwio(w)}
-        if len(layer_blobs) > 1 and layer_blobs[1].ndim == 1:
-            updates["bias"] = layer_blobs[1]
+        if len(layer_blobs) > 1:
+            b = layer_blobs[1]
+            if b.ndim != 1:
+                # legacy (V1LayerParameter) BlobProtos parse with the
+                # 4-D num/channels/height/width dims — a bias arrives
+                # as (1, C, 1, 1)/(1, 1, 1, C); squeeze, don't drop
+                # (dropping silently zeroed biases of legacy-era
+                # pretrained nets like BVLC GoogLeNet)
+                b = np.squeeze(b)
+            if b.ndim == 1:
+                updates["bias"] = b
+            else:
+                unmatched.append(f"{layer} (bias shape "
+                                 f"{layer_blobs[1].shape})")
         _set_path(p, path, updates)
 
     if strict and unmatched:

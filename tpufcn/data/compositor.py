@@ -139,12 +139,18 @@ def photometric(image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def zoom_crop(image: np.ndarray, rect, rng: np.random.Generator):
+def zoom_crop(image: np.ndarray, rect, rng: np.random.Generator,
+              label_map: Optional[np.ndarray] = None):
     """Reference crop_image_dimension + enlarge-factor draw
-    (argumentation_engine.py:155-236): random crop containing the GT box."""
+    (argumentation_engine.py:155-236): random crop containing the GT box.
+
+    ``label_map`` is cropped with the SAME window.  (The reference crops
+    only the image — argumentation_engine.py:155-188 — leaving its seg
+    labels misaligned with zoom-cropped pixels; that is a bug, not a
+    quirk to keep, since tpufcn trains seg heads on this output.)"""
     x, y, w, h = [int(v) for v in rect]
     if w <= 0 or h <= 0:
-        return image, list(rect)
+        return image, list(rect), label_map
     scale_x = int(math.floor(image.shape[1] / float(w)))
     scale_y = int(math.floor(image.shape[0] / float(h)))
     e1 = float(rng.uniform(1.0, max(scale_x, 1.0)))
@@ -181,8 +187,10 @@ def zoom_crop(image: np.ndarray, rect, rng: np.random.Generator):
     ny = max(int(ny), 0)
     roi = image[ny:ny + int(nh), nx:nx + int(nw)]
     if roi.size == 0:
-        return image, list(rect)
-    return roi.copy(), [int(x - nx), int(y - ny), w, h]
+        return image, list(rect), label_map
+    if label_map is not None:
+        label_map = label_map[ny:ny + int(nh), nx:nx + int(nw)].copy()
+    return roi.copy(), [int(x - nx), int(y - ny), w, h], label_map
 
 
 def random_augmentation(image: np.ndarray, rects,
@@ -200,7 +208,7 @@ def random_augmentation(image: np.ndarray, rects,
         rects = [list(r) for r in rects]
 
     if enable_zoom and len(rects) == 1:
-        image, rect = zoom_crop(image, rects[0], rng)
+        image, rect, label_map = zoom_crop(image, rects[0], rng, label_map)
         rects = [rect]
 
     if enable_photometric:

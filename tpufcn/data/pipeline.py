@@ -189,14 +189,19 @@ class DeviceBatchCache:
     def __init__(self, put: Callable[[Dict[str, np.ndarray]], Dict],
                  source: Iterator[Dict[str, np.ndarray]],
                  n_batches: int):
+        import inspect
         from tpufcn.train.step import stack_batches
         self.n_batches = n_batches
         stacked = stack_batches([next(source) for _ in range(n_batches)])
+        # Trainer.put takes stacked=: replicate the leading steps axis on
+        # a mesh.  Feature-detect by signature — catching TypeError would
+        # mask genuine TypeErrors raised inside put itself.
         try:
-            # Trainer.put: replicate the leading steps axis on a mesh
-            self.batch = put(stacked, stacked=True)
-        except TypeError:
-            self.batch = put(stacked)
+            takes_stacked = "stacked" in inspect.signature(put).parameters
+        except (TypeError, ValueError):
+            takes_stacked = False
+        self.batch = put(stacked, stacked=True) if takes_stacked \
+            else put(stacked)
 
     def __iter__(self):
         while True:
@@ -212,23 +217,40 @@ def prefetch(source: Iterator, depth: int = 2,
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    _END = object()
+
+    def _put(item) -> bool:
+        # bounded put that keeps observing ``stop`` (a plain q.put on a
+        # full queue never wakes once the consumer exits)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in source:
                 if stop.is_set():
                     return
-                q.put(item)
-        finally:
-            q.put(None)
+                if not _put(item):
+                    return
+        except BaseException as e:   # propagate, don't fake end-of-data
+            _put(e)
+        else:
+            _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     try:
         while True:
             item = q.get()
-            if item is None:
+            if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield transform(item) if transform else item
     finally:
         stop.set()

@@ -139,6 +139,7 @@ class RecordReader:
             offs = np.frombuffer(raw[4:], "<u8")
             self._offsets.append(offs)
         self._cum = np.cumsum([0] + [len(o) for o in self._offsets])
+        self._handles: List = [None] * len(self.shards)
 
     def __len__(self) -> int:
         return int(self._cum[-1])
@@ -146,11 +147,22 @@ class RecordReader:
     def read(self, index: int) -> Dict[str, np.ndarray]:
         shard = int(np.searchsorted(self._cum, index, side="right") - 1)
         local = index - self._cum[shard]
-        with open(self.shards[shard], "rb") as f:
-            f.seek(int(self._offsets[shard][local]))
-            (ln,) = struct.unpack("<Q", f.read(8))
-            rec = _unpack(f.read(ln))
+        f = self._handles[shard]
+        if f is None:
+            # kept open for the lifetime of the reader: per-record
+            # open/close pairs are pure syscall overhead on the
+            # training hot path
+            f = self._handles[shard] = open(self.shards[shard], "rb")
+        f.seek(int(self._offsets[shard][local]))
+        (ln,) = struct.unpack("<Q", f.read(8))
+        rec = _unpack(f.read(ln))
         return self._decode(rec)
+
+    def close(self):
+        for f in self._handles:
+            if f is not None:
+                f.close()
+        self._handles = [None] * len(self.shards)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(len(self)):
@@ -168,10 +180,15 @@ class RecordReader:
 
 
 def _glob_prefix(prefix: str) -> List[str]:
+    # match ONLY the writer's exact '<prefix>-NNNNN.rec/.idx' pattern —
+    # a bare startswith would also swallow sibling datasets like
+    # '<prefix>-aug-00000.rec'
+    import re
     d = os.path.dirname(prefix) or "."
     base = os.path.basename(prefix)
+    pat = re.compile(re.escape(base) + r"-\d{5}\.(rec|idx)$")
     return [os.path.join(d, f) for f in sorted(os.listdir(d))
-            if f.startswith(base + "-")]
+            if pat.match(f)]
 
 
 def offline_variants(image: np.ndarray, rects, labels,

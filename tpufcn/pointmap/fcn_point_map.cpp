@@ -257,13 +257,13 @@ int fcn_point_map_process(const float* cloud, const uint8_t* mask,
   //     from the UNMATCHED remainder of the object mask.  (The reference
   //     scans each rect from the image origin — a bug — here regions are
   //     rect-local.)
-  // Both start from the Otsu-thresholded object mask; XOR within matched
-  // rects either builds (1) or cancels (0) those regions.
+  // Both start from the Otsu-thresholded object mask.  Matched regions
+  // are COPIED into a scratch mask (assignment is idempotent where
+  // rects overlap — a per-rect XOR would flip overlap pixels twice;
+  // the reference likewise copies regions then applies ONE global
+  // cv::bitwise_xor), then combined per the polarity.
   int o_thresh = tpufcn::otsu_threshold(mask, n);
-  std::vector<uint8_t> fused(n, 0);
-  if (!keep_matched) {
-    for (int i = 0; i < n; ++i) fused[i] = mask[i] > o_thresh ? 255 : 0;
-  }
+  std::vector<uint8_t> matched(n, 0);
   for (const Rect& orc : orects) {
     bool hit = false;
     for (const Rect& prc : prects) {
@@ -273,9 +273,17 @@ int fcn_point_map_process(const float* cloud, const uint8_t* mask,
     for (int y = orc.y; y < orc.y + orc.h; ++y) {
       for (int x = orc.x; x < orc.x + orc.w; ++x) {
         int idx = y * w + x;
-        uint8_t v = mask[idx] > o_thresh ? 255 : 0;
-        fused[idx] ^= v;  // XOR, as the reference's bitwise_xor region op
+        matched[idx] = mask[idx] > o_thresh ? 255 : 0;
       }
+    }
+  }
+  std::vector<uint8_t> fused(n, 0);
+  if (keep_matched) {
+    fused = matched;
+  } else {
+    for (int i = 0; i < n; ++i) {
+      uint8_t obj = mask[i] > o_thresh ? 255 : 0;
+      fused[i] = obj ^ matched[i];  // the reference's single bitwise_xor
     }
   }
 

@@ -136,8 +136,13 @@ class PointMapNode:
         pts = cloud.reshape(-1, 3)
         sel = flat >= 0
         out_points = pts[sel]
+        # indices address the PUBLISHED (compacted) cloud, matching the
+        # reference contract (fcn_point_map_node.cpp pushes icounter++
+        # over the gathered object_cloud): out_points[indices[c]] are
+        # cluster c's points
+        compact = flat[sel]
         indices: List[np.ndarray] = [
-            np.nonzero(flat == c)[0] for c in range(k)]
+            np.nonzero(compact == c)[0] for c in range(k)]
         self.bus.publish(self.points_topic, out_points,
                          stamp=cloud_msg.stamp)
         self.bus.publish(self.indices_topic, indices, stamp=cloud_msg.stamp)

@@ -42,11 +42,22 @@ class CnnCodeExtractor:
         self._codes = _codes
 
     def __call__(self, crops_bgr: Sequence[np.ndarray]) -> np.ndarray:
-        """(N crops, any sizes) -> (N, 512) L2-normalized codes."""
+        """(N crops, any sizes) -> (N, 512) L2-normalized codes.
+
+        Batches are padded to the next power-of-two capacity so XLA
+        compiles O(log N) distinct graphs instead of one per crop
+        count (30 s-5 min per compile on this host — CLAUDE.md)."""
+        n = len(crops_bgr)
         batch = np.stack([
             cv.resize(np.asarray(c), (self.size, self.size))
             for c in crops_bgr]).astype(np.float32)
-        return np.asarray(self._codes(self.params, jnp.asarray(batch)))
+        cap = 1 << max(n - 1, 0).bit_length()   # next pow2 >= n
+        if cap > n:
+            batch = np.concatenate(
+                [batch, np.zeros((cap - n,) + batch.shape[1:],
+                                 np.float32)])
+        codes = np.asarray(self._codes(self.params, jnp.asarray(batch)))
+        return codes[:n]
 
 
 def bhattacharyya(a: np.ndarray, b: np.ndarray) -> float:
