@@ -139,6 +139,45 @@ def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
         del recipes.RECIPES["_tiny_cli_test"]
 
 
+def test_cli_eval_seg_mean_iou(tmp_path, rng, capsys):
+    """eval --format seg: mask-manifest -> FCN forward -> mean IoU
+    (the seg-family analog of the detection mAP path)."""
+    import jax.numpy as jnp
+    from tpufcn.cli import main
+    from tpufcn.core.config import GridConfig
+    from tpufcn.models import registry
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 120, (48, 48, 3)).astype(np.uint8)
+            msk = np.zeros((48, 48), np.uint8)
+            msk[8:30, 10:34] = 255
+            img[8:30, 10:34] = (200, 60, 30)
+            ip, mp = str(tmp_path / f"i{i}.png"), str(tmp_path / f"m{i}.png")
+            cv.imwrite(ip, img)
+            cv.imwrite(mp, msk)
+            f.write(f"{ip} {mp} 1 10 8 24 22\n")
+            f.write("ignored\n")
+
+    registry.register("_tiny_seg_cli_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.bfloat16, **kw: registry.FCN32sSeg(
+            num_classes=kw.pop("num_classes", 3), dtype=dtype, **kw),
+        grid=GridConfig(48, 48, stride=16, num_classes=3),
+        preprocessing="demean", background_channel=0, heads=("seg",),
+        reference="train/semantic_segmentation/train_val.prototxt"))
+    try:
+        main(["eval", "--manifest", man, "--format", "seg",
+              "--model", "_tiny_seg_cli_test"])
+    finally:
+        del registry._REGISTRY["_tiny_seg_cli_test"]
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["images"] == 2
+    assert 0.0 <= rec["mean_iou"] <= 1.0
+    assert 0.0 <= rec["pixel_accuracy"] <= 1.0
+    assert "1" in rec["iou"]   # the GT object class is scored
+
+
 def test_cli_train_seg_recipe_rejects_records(tmp_path):
     from tpufcn.cli import main
     with pytest.raises(SystemExit, match="detection recipes"):

@@ -14,7 +14,8 @@ from tpufcn.tools import (
 from tpufcn.tools.boundary_refinement import ncc_track
 from tpufcn.tools.features import bhattacharyya, chi_square
 from tpufcn.train.evaluate import (
-    average_precision, box_iou_corners, evaluate_detections)
+    average_precision, box_iou_corners, evaluate_detections,
+    evaluate_segmentation)
 
 
 @pytest.fixture(scope="module")
@@ -122,6 +123,51 @@ def test_box_iou_and_ap():
     r = np.array([0.5, 1.0])
     p = np.array([1.0, 0.5])
     assert 0.5 < average_precision(r, p) <= 1.0
+
+
+def test_evaluate_segmentation_hand_golden():
+    """4x4 maps, 3 classes, hand-computed confusion:
+
+    gt:   0 0 1 1      pred: 0 0 1 1
+          0 0 1 1            0 2 1 1
+          2 2 2 2            2 2 2 0
+          0 0 0 0            0 0 0 0
+
+    class 0: tp=7, gt=8, pred=8  -> IoU 7/9
+    class 1: tp=4, gt=4, pred=4  -> IoU 1.0
+    class 2: tp=3, gt=4, pred=4  -> IoU 3/5
+    """
+    gt = np.array([[0, 0, 1, 1], [0, 0, 1, 1],
+                   [2, 2, 2, 2], [0, 0, 0, 0]])
+    pred = np.array([[0, 0, 1, 1], [0, 2, 1, 1],
+                     [2, 2, 2, 0], [0, 0, 0, 0]])
+    res = evaluate_segmentation([gt], [pred], num_classes=3)
+    assert res["iou"][0] == pytest.approx(7 / 9)
+    assert res["iou"][1] == pytest.approx(1.0)
+    assert res["iou"][2] == pytest.approx(3 / 5)
+    assert res["mean_iou"] == pytest.approx((7 / 9 + 1.0 + 3 / 5) / 3)
+    assert res["pixel_accuracy"] == pytest.approx(14 / 16)
+    assert res["mean_class_accuracy"] == pytest.approx(
+        (7 / 8 + 4 / 4 + 3 / 4) / 3)
+    # perfect prediction
+    perf = evaluate_segmentation([gt], [gt], num_classes=3)
+    assert perf["mean_iou"] == pytest.approx(1.0)
+    assert perf["pixel_accuracy"] == pytest.approx(1.0)
+    # absent classes (only bg present) don't enter the mean; a class
+    # hallucinated by the prediction does (as IoU 0)
+    z = np.zeros((4, 4), np.int64)
+    res0 = evaluate_segmentation([z], [pred], num_classes=3)
+    assert set(res0["iou"]) == {0, 1, 2}
+    assert res0["iou"][1] == 0.0
+    # ignore_label drops those GT pixels entirely
+    resi = evaluate_segmentation([gt], [pred], num_classes=3,
+                                 ignore_label=2)
+    assert 2 in resi["iou"]            # still present via predictions
+    assert resi["iou"][2] == 0.0       # ... with no matching GT
+    assert resi["iou"][1] == pytest.approx(1.0)
+    # pooled across images == one concatenated map
+    res2 = evaluate_segmentation([gt, gt], [pred, gt], num_classes=3)
+    assert res2["confusion"].sum() == 32
 
 
 def test_evaluate_detections_perfect_and_miss():

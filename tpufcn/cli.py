@@ -141,6 +141,69 @@ def _cmd_voc(args):
     print(f"wrote manifests to {args.out}")
 
 
+def _eval_seg(args):
+    """Mean-IoU / pixel-accuracy for the FCN seg families over a
+    compositor mask manifest (image mask label rect records)."""
+    import os
+
+    import cv2 as cv
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.data import read_mask_manifest
+    from tpufcn.models import build, get_spec
+    from tpufcn.serve.detector import _preprocess
+    from tpufcn.train.evaluate import evaluate_segmentation
+
+    # background_offset=1: compositor convention, mask pixels = label+1,
+    # class 0 stays background
+    samples = read_mask_manifest(args.manifest, background_offset=1)
+    spec = get_spec(args.model)
+    C = args.num_classes or spec.grid.num_classes
+    mkw = {"num_classes": args.num_classes} if args.num_classes else {}
+    model = build(args.model, **mkw)
+    H, W = spec.grid.im_height, spec.grid.im_width
+
+    params = None
+    if args.weights and os.path.isdir(args.weights):
+        import orbax.checkpoint as ocp
+        mgr = ocp.CheckpointManager(os.path.abspath(args.weights))
+        step = mgr.latest_step()
+        if step is None:
+            raise SystemExit(f"no checkpoints in {args.weights}")
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        mgr.restore(step)["params"])
+    if params is None:
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     jnp.zeros((1, H, W, 3), jnp.float32))
+        if args.weights:  # a .caffemodel file
+            from tpufcn.convert import convert_caffemodel
+            params = convert_caffemodel(params, args.weights, strict=False)
+
+    @jax.jit
+    def fwd(p, x):
+        x = _preprocess(x, spec.preprocessing, (H, W))
+        return jnp.argmax(model.apply(p, x)["seg"], axis=-1)
+
+    gts, preds = [], []
+    for s in samples[:args.limit]:
+        img = cv.imread(s.image_path)
+        msk = cv.imread(s.mask_path, cv.IMREAD_GRAYSCALE)
+        if img is None or msk is None:
+            continue
+        img = cv.resize(img, (W, H))
+        msk = cv.resize(msk, (W, H), interpolation=cv.INTER_NEAREST)
+        gts.append(np.where(msk > 0, s.label, 0))
+        preds.append(np.asarray(
+            fwd(params, jnp.asarray(img[None], jnp.float32)))[0])
+    res = evaluate_segmentation(gts, preds, num_classes=C)
+    print(json.dumps({"mean_iou": res["mean_iou"],
+                      "pixel_accuracy": res["pixel_accuracy"],
+                      "mean_class_accuracy": res["mean_class_accuracy"],
+                      "iou": {str(k): v for k, v in res["iou"].items()},
+                      "images": len(gts)}))
+
+
 def _cmd_eval(args):
     import os
 
@@ -152,6 +215,8 @@ def _cmd_eval(args):
     from tpufcn.train.evaluate import evaluate_detector
     from tpufcn.ops.boxes import rects_to_corners
 
+    if args.format == "seg":
+        return _eval_seg(args)
     reader = (read_voc_manifest if args.format == "voc"
               else read_detection_manifest)
     samples = reader(args.manifest)
@@ -299,7 +364,8 @@ def main(argv=None):
 
     e = sub.add_parser("eval")
     e.add_argument("--manifest", required=True)
-    e.add_argument("--format", choices=("voc", "detection"), default="voc")
+    e.add_argument("--format", choices=("voc", "detection", "seg"),
+                   default="voc")
     e.add_argument("--model", default="vgg_pyramid_detectnet")
     e.add_argument("--weights", default=None,
                    help="orbax snapshot dir or .caffemodel file")

@@ -98,6 +98,61 @@ def evaluate_detections(
     return {"ap": aps, "mAP": mean_ap}
 
 
+def evaluate_segmentation(gt_masks: Sequence[np.ndarray],
+                          pred_masks: Sequence[np.ndarray],
+                          num_classes: int,
+                          ignore_label: int | None = None
+                          ) -> Dict[str, object]:
+    """Semantic-segmentation metrics from a pooled confusion matrix.
+
+    Scores the FCN seg families (C18/C19) the way mAP scores detection;
+    the reference ships no segmentation eval either (SURVEY.md §6), so
+    like `evaluate_detections` this is the build's own bar.
+
+    Args:
+      gt_masks / pred_masks: per image (H, W) integer label maps,
+        class 0 = background (the FCN training convention:
+        compositor mask = label + 1).
+      ignore_label: optional GT value excluded from scoring (e.g. a
+        void/boundary class).
+
+    Returns per-class IoU (classes present in GT or prediction),
+    mean IoU over those classes, overall pixel accuracy, and mean
+    per-class recall ("mean_class_accuracy"), plus the raw confusion
+    matrix (rows = GT class, cols = predicted class).
+    """
+    C = int(num_classes)
+    cm = np.zeros((C, C), np.int64)
+    for gt, pred in zip(gt_masks, pred_masks):
+        g = np.asarray(gt).reshape(-1).astype(np.int64)
+        p = np.asarray(pred).reshape(-1).astype(np.int64)
+        if g.shape != p.shape:
+            raise ValueError(
+                f"gt/pred size mismatch: {np.shape(gt)} vs {np.shape(pred)}")
+        keep = (g >= 0) & (g < C) & (p >= 0) & (p < C)
+        if ignore_label is not None:
+            keep &= g != ignore_label
+        cm += np.bincount(g[keep] * C + p[keep],
+                          minlength=C * C).reshape(C, C)
+    tp = np.diag(cm).astype(np.float64)
+    gt_count = cm.sum(axis=1).astype(np.float64)
+    pr_count = cm.sum(axis=0).astype(np.float64)
+    union = gt_count + pr_count - tp
+    present = union > 0
+    iou = np.zeros(C)
+    np.divide(tp, union, out=iou, where=present)
+    total = float(cm.sum())
+    seen = gt_count > 0
+    return {
+        "iou": {c: float(iou[c]) for c in range(C) if present[c]},
+        "mean_iou": float(iou[present].mean()) if present.any() else 0.0,
+        "pixel_accuracy": float(tp.sum() / total) if total else 0.0,
+        "mean_class_accuracy":
+            float((tp[seen] / gt_count[seen]).mean()) if seen.any() else 0.0,
+        "confusion": cm,
+    }
+
+
 def evaluate_detector(detector, images: Sequence[np.ndarray],
                       ground_truth, num_classes: int,
                       iou_thresh: float = 0.5) -> Dict[str, object]:
