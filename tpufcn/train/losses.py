@@ -67,19 +67,26 @@ def detectnet_loss(outputs: Dict[str, jax.Array],
 
     Args:
       outputs: model dict with "coverage" (B,gh,gw,C), "bboxes" (B,gh,gw,4C)
-        and optionally "seg" (B,H,W,C).
+        and optionally "seg" (B,H,W,C).  Heads a family does not produce
+        are skipped (FCN-32s is seg-only — its train graph has just the
+        SoftmaxWithLoss term, train/semantic_segmentation/train_val.prototxt).
       labels: batched GridLabels (leading batch axis).
       seg_labels: (B, H, W) int mask for the fcn_bbox family, or None.
     """
-    # masked/normalized eltwise chains (Caffe Eltwise PROD)
-    label_side = labels.bbox * labels.size * labels.obj
-    pred_side = (outputs["bboxes"].astype(jnp.float32)
-                 * labels.coverage_block * labels.size * labels.obj)
-
-    bbox_l = l1_loss_caffe(pred_side, label_side)
-    cov_l = euclidean_loss_caffe(outputs["coverage"], labels.coverage)
-    total = bbox_weight * bbox_l + coverage_weight * cov_l
-    metrics = {"loss_bbox": bbox_l, "loss_coverage": cov_l}
+    total = jnp.zeros((), jnp.float32)
+    metrics: Dict[str, jax.Array] = {}
+    if "bboxes" in outputs:
+        # masked/normalized eltwise chains (Caffe Eltwise PROD)
+        label_side = labels.bbox * labels.size * labels.obj
+        pred_side = (outputs["bboxes"].astype(jnp.float32)
+                     * labels.coverage_block * labels.size * labels.obj)
+        bbox_l = l1_loss_caffe(pred_side, label_side)
+        total = total + bbox_weight * bbox_l
+        metrics["loss_bbox"] = bbox_l
+    if "coverage" in outputs:
+        cov_l = euclidean_loss_caffe(outputs["coverage"], labels.coverage)
+        total = total + coverage_weight * cov_l
+        metrics["loss_coverage"] = cov_l
 
     if seg_labels is not None and "seg" in outputs:
         s = seg_loss(outputs["seg"], seg_labels, seg_normalize)
