@@ -55,54 +55,64 @@ def _time_loop(infer, params, frames, iters=ITERS, reps=3):
     return best
 
 
-def _map_synthetic(steps=2000, batch=16, n_cached=25):
-    """Flagship train on the synthetic compositing dataset at the
-    deploy geometry (448x448 s16, models/deploy.prototxt:1-7), then
-    held-out mAP@0.5 with the exact and fp8-serving detectors.
-
-    Uses DeviceBatchCache epoch training: 400 composite scenes are
-    built+uploaded once and reused from HBM, so thousands of steps cost
-    seconds of device time instead of minutes of 1-core host
-    compositing (~73 s of train wall per 2000 steps through the
-    tunnel).  Config chosen by sweep: 448x448 reaches mAP@0.5 0.99 at
-    2000 steps and drifts DOWN with more epochs over the fixed cache
-    (0.95 @ 4000, 0.91 @ 7000); 224x224 plateaus near 0.47."""
+def _train_synthetic(model_name, grid, root, *, with_seg=False,
+                     steps=2000, batch=16, n_cached=25,
+                     model_kwargs=None):
+    """Shared scaffold for the accuracy trackers: train `model_name` on
+    the synthetic compositing dataset with DeviceBatchCache epoch
+    training (n_cached batches built+uploaded once, reused from HBM —
+    thousands of steps cost seconds of device time instead of minutes
+    of 1-core host compositing), then return (state, model, held-out
+    seed-99 test batch)."""
     import jax.numpy as jnp
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "examples"))
     from demo import make_dataset
-    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
-    from tpufcn.data import CompositeTrainPipeline
+    from tpufcn.core.config import DataConfig, TrainConfig
+    from tpufcn.data import CompositeTrainPipeline, DeviceBatchCache
     from tpufcn.models import build
-    from tpufcn.serve.detector import Detector
-    from tpufcn.train.evaluate import evaluate_detections
     from tpufcn.train.trainer import Trainer
 
     rng = np.random.default_rng(0)
-    root = "/tmp/tpufcn_bench_map"
     samples = make_dataset(os.path.join(root, "data"), rng)
-    grid = GridConfig(im_width=448, im_height=448, stride=16, num_classes=1)
     cfg = TrainConfig(
-        grid=grid, model="googlenet_detectnet_1cls",
+        grid=grid, model=model_name,
         data=DataConfig(batch_size=batch),
         optimizer="adam", learning_rate=3e-4,
         lr_decay_step=2500, lr_gamma=0.3,
         max_iter=steps, snapshot_every=0,
         snapshot_dir=os.path.join(root, "snap"), log_every=10**9)
-    model = build("googlenet_detectnet_1cls", dtype=jnp.bfloat16)
-    trainer = Trainer(cfg, model=model, steps_per_dispatch=n_cached,
-                      log_sink=lambda s: None)
+    model = build(model_name, dtype=jnp.bfloat16, **(model_kwargs or {}))
+    trainer = Trainer(cfg, model=model, with_seg=with_seg,
+                      steps_per_dispatch=n_cached, log_sink=lambda s: None)
     pipe = CompositeTrainPipeline(samples, grid, DataConfig(batch_size=batch),
                                   box_capacity=4, seed=1)
-    from tpufcn.data import DeviceBatchCache
     cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
     state = trainer.fit(iter(cache), max_iter=steps, resume=False)
-
     test_pipe = CompositeTrainPipeline(samples, grid,
                                        DataConfig(batch_size=16),
                                        box_capacity=4, seed=99)
-    tb = test_pipe.batch(16)
+    return state, model, test_pipe.batch(16)
+
+
+def _map_synthetic(steps=2000, batch=16, n_cached=25):
+    """Flagship train on the synthetic compositing dataset at the
+    deploy geometry (448x448 s16, models/deploy.prototxt:1-7), then
+    held-out mAP@0.5 with the exact and fp8-serving detectors.
+
+    Config chosen by sweep: 448x448 reaches mAP@0.5 0.99 at
+    2000 steps and drifts DOWN with more epochs over the fixed cache
+    (0.95 @ 4000, 0.91 @ 7000); 224x224 plateaus near 0.47."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import GridConfig
+    from tpufcn.serve.detector import Detector
+    from tpufcn.train.evaluate import evaluate_detections
+
+    grid = GridConfig(im_width=448, im_height=448, stride=16, num_classes=1)
+    state, _, tb = _train_synthetic(
+        "googlenet_detectnet_1cls", grid, "/tmp/tpufcn_bench_map",
+        steps=steps, batch=batch, n_cached=n_cached)
     gts = []
     for i in range(tb["image"].shape[0]):
         v = tb["valid"][i]
@@ -138,42 +148,16 @@ def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
     Measured 0.89 mean-IoU / 0.94 pixel accuracy at 2,000 steps."""
     import jax
     import jax.numpy as jnp
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "examples"))
-    from demo import make_dataset
-    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
-    from tpufcn.data import CompositeTrainPipeline, DeviceBatchCache
-    from tpufcn.models import build
+    from tpufcn.core.config import GridConfig
     from tpufcn.ops.image import demean_bgr
     from tpufcn.train.evaluate import evaluate_segmentation
-    from tpufcn.train.trainer import Trainer
 
-    rng = np.random.default_rng(0)
-    root = "/tmp/tpufcn_bench_seg"
-    samples = make_dataset(os.path.join(root, "data"), rng)
     C = 2  # background + the synthetic object class
     grid = GridConfig(224, 224, stride=16, num_classes=C)
-    cfg = TrainConfig(grid=grid, model="fcn32s_seg",
-                      data=DataConfig(batch_size=batch),
-                      optimizer="adam", learning_rate=3e-4,
-                      lr_decay_step=2500, lr_gamma=0.3,
-                      max_iter=steps, snapshot_every=0,
-                      snapshot_dir=os.path.join(root, "snap"),
-                      log_every=10**9)
-    model = build("fcn32s_seg", dtype=jnp.bfloat16, num_classes=C)
-    trainer = Trainer(cfg, model=model, with_seg=True,
-                      steps_per_dispatch=n_cached, log_sink=lambda s: None)
-    pipe = CompositeTrainPipeline(samples, grid,
-                                  DataConfig(batch_size=batch),
-                                  box_capacity=4, seed=1)
-    cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
-    state = trainer.fit(iter(cache), max_iter=steps, resume=False)
-
-    test_pipe = CompositeTrainPipeline(samples, grid,
-                                       DataConfig(batch_size=16),
-                                       box_capacity=4, seed=99)
-    tb = test_pipe.batch(16)
+    state, model, tb = _train_synthetic(
+        "fcn32s_seg", grid, "/tmp/tpufcn_bench_seg", with_seg=True,
+        steps=steps, batch=batch, n_cached=n_cached,
+        model_kwargs={"num_classes": C})
 
     @jax.jit
     def seg_fwd(p, x):

@@ -103,6 +103,20 @@ def test_legacy_4d_bias_blob_is_squeezed(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["params"]["cvg/classifier"]["conv"]["bias"]), bias)
 
+    # single-channel head: a (1, 1, 1, 1) bias squeezes to 0-d and must
+    # STILL load as shape (1,) (strict mode used to reject it)
+    model1 = build("googlenet_detectnet_1cls", dtype=jnp.float32)
+    params1 = model1.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    k1 = np.asarray(
+        params1["params"]["cvg/classifier"]["conv"]["kernel"]).shape
+    w1 = rng.standard_normal((k1[3], k1[2], k1[0], k1[1]), dtype=np.float32)
+    b1 = rng.standard_normal((1,), dtype=np.float32)
+    monkeypatch.setattr(cc, "load_caffemodel", lambda _: {
+        "cvg/classifier": [w1, b1.reshape(1, 1, 1, 1)]})
+    out1 = cc.convert_caffemodel(params1, "/nonexistent", strict=True)
+    np.testing.assert_allclose(
+        np.asarray(out1["params"]["cvg/classifier"]["conv"]["bias"]), b1)
+
 
 def test_vgg_ilsvrc_name_mapping(tmp_path, rng):
     """The reference fine-tunes from VGG16 ILSVRC weights

@@ -59,6 +59,27 @@ def test_mask_manifest_stride_and_remap(tmp_path):
     s2 = read_mask_manifest(p, background_offset=1)
     assert [x.label for x in s2] == [1, 2]
 
+    # label_map pins class ids to a TRAINING run's snapshot: an eval
+    # manifest missing class 7 must keep 9 -> 2 (per-manifest
+    # densification would silently shift it to 1)
+    from tpufcn.data.manifest import read_label_map_snapshot
+    snap = str(tmp_path / "labels.txt")
+    with open(snap, "w") as f:
+        f.write("1 7\n2 9\n")
+    lm = read_label_map_snapshot(snap)
+    assert lm == {7: 1, 9: 2}
+    p2 = str(tmp_path / "val.txt")
+    with open(p2, "w") as f:
+        f.write("/i1.jpg /m1.jpg 9 5 6 7 8\n")
+        f.write("ignored line\n")
+    sv = read_mask_manifest(p2, background_offset=1, label_map=lm)
+    assert [x.label for x in sv] == [2]
+    with open(p2, "a") as f:
+        f.write("/i2.jpg /m2.jpg 11 5 6 7 8\n")
+        f.write("ignored line\n")
+    with pytest.raises(ValueError, match=r"\[11\]"):
+        read_mask_manifest(p2, background_offset=1, label_map=lm)
+
 
 def test_voc_manifest_roundtrip(tmp_path):
     samples = [DetectionSample("/img.jpg",

@@ -168,6 +168,13 @@ def test_evaluate_segmentation_hand_golden():
     # pooled across images == one concatenated map
     res2 = evaluate_segmentation([gt, gt], [pred, gt], num_classes=3)
     assert res2["confusion"].sum() == 32
+    # out-of-range GT (num_classes typo) is counted and warned about,
+    # never silently dropped
+    with pytest.warns(UserWarning, match="outside"):
+        resw = evaluate_segmentation([gt], [np.clip(pred, 0, 1)],
+                                     num_classes=2)
+    assert resw["invalid_gt_pixels"] == 4      # the class-2 GT pixels
+    assert res["invalid_gt_pixels"] == 0
 
 
 def test_evaluate_detections_perfect_and_miss():

@@ -56,6 +56,13 @@ def test_fcn32s_seg_only_train_step(rng):
     assert np.isfinite(float(metrics["loss_seg"]))
     assert float(metrics["loss_total"]) == float(metrics["loss_seg"])
 
+    # with_seg left False on a seg-only model: NO loss term matches —
+    # must raise at trace time, not silently train on a constant zero
+    import pytest
+    step_bad = make_train_step(model, cfg, with_seg=False)
+    with pytest.raises(ValueError, match="no loss term"):
+        step_bad(state, {k: v for k, v in batch.items() if k != "seg"})
+
 
 def test_fcn8s_train_step_with_seg(rng):
     """Joint bbox + coverage + softmax-seg losses (the reference fcn_bbox

@@ -156,8 +156,15 @@ def _eval_seg(args):
     from tpufcn.train.evaluate import evaluate_segmentation
 
     # background_offset=1: compositor convention, mask pixels = label+1,
-    # class 0 stays background
-    samples = read_mask_manifest(args.manifest, background_offset=1)
+    # class 0 stays background.  --labels pins class ids to the training
+    # run's label-manifest snapshot (per-manifest densification would
+    # silently shift ids when the eval manifest misses a class).
+    label_map = None
+    if args.labels:
+        from tpufcn.data.manifest import read_label_map_snapshot
+        label_map = read_label_map_snapshot(args.labels)
+    samples = read_mask_manifest(args.manifest, background_offset=1,
+                                 label_map=label_map)
     spec = get_spec(args.model)
     C = args.num_classes or spec.grid.num_classes
     mkw = {"num_classes": args.num_classes} if args.num_classes else {}
@@ -166,13 +173,8 @@ def _eval_seg(args):
 
     params = None
     if args.weights and os.path.isdir(args.weights):
-        import orbax.checkpoint as ocp
-        mgr = ocp.CheckpointManager(os.path.abspath(args.weights))
-        step = mgr.latest_step()
-        if step is None:
-            raise SystemExit(f"no checkpoints in {args.weights}")
-        params = jax.tree_util.tree_map(jnp.asarray,
-                                        mgr.restore(step)["params"])
+        from tpufcn.train.trainer import load_snapshot_params
+        params = load_snapshot_params(args.weights)
     if params is None:
         params = jax.jit(model.init)(jax.random.key(0),
                                      jnp.zeros((1, H, W, 3), jnp.float32))
@@ -374,6 +376,9 @@ def main(argv=None):
                         "trained with a non-default class count)")
     e.add_argument("--iou", type=float, default=0.5)
     e.add_argument("--limit", type=int, default=10**9)
+    e.add_argument("--labels", default=None,
+                   help="label-manifest snapshot pinning seg class ids "
+                        "to the training run's mapping (--format seg)")
     e.set_defaults(fn=_cmd_eval)
 
     rp = sub.add_parser("replay")

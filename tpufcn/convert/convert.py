@@ -123,8 +123,10 @@ def convert_caffemodel(params: Dict[str, Any],
                 # 4-D num/channels/height/width dims — a bias arrives
                 # as (1, C, 1, 1)/(1, 1, 1, C); squeeze, don't drop
                 # (dropping silently zeroed biases of legacy-era
-                # pretrained nets like BVLC GoogLeNet)
-                b = np.squeeze(b)
+                # pretrained nets like BVLC GoogLeNet).  atleast_1d:
+                # a single-channel head's (1, 1, 1, 1) bias squeezes
+                # to 0-d, which must still load as shape (1,)
+                b = np.atleast_1d(np.squeeze(b))
             if b.ndim == 1:
                 updates["bias"] = b
             else:

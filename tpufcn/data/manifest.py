@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -57,11 +57,18 @@ def read_mask_manifest(path: str,
                        line_stride: int = 2,
                        background_offset: int = 0,
                        snapshot_label_manifest: Optional[str] = None,
+                       label_map: Optional[Dict[int, int]] = None,
                        ) -> List[MaskSample]:
     """The compositor dataset: image+mask+label+rect records.
 
     ``line_stride=2`` mirrors the reference reader; ``background_offset=1``
     reproduces the FCN variant's shift so 0 stays background.
+
+    ``label_map`` (raw manifest label -> final class id) pins the class
+    ids to a TRAINING run's mapping (see `read_label_map_snapshot`).
+    Without it labels are densified per manifest — fine for training,
+    but an eval manifest missing some training class would silently
+    shift every id.
     """
     lines = _lines(path)
     raw = []
@@ -71,6 +78,15 @@ def read_mask_manifest(path: str,
         raw.append((v[0], v[1], int(v[2]), rect))
 
     labels = np.array([r[2] for r in raw])
+    if label_map is not None:
+        unknown = sorted(set(int(l) for l in labels) - set(label_map))
+        if unknown:
+            raise ValueError(
+                f"manifest labels {unknown} are missing from the "
+                "label-map snapshot")
+        inv = np.array([label_map[int(l)] for l in labels])
+        return [MaskSample(p, m, int(l), r)
+                for (p, m, _, r), l in zip(raw, inv)]
     uniq, inv = np.unique(labels, return_inverse=True)
     inv = inv + background_offset
 
@@ -91,6 +107,17 @@ def read_mask_manifest(path: str,
 def snapshot_label_path(directory: str = "snapshots/labels") -> str:
     return os.path.join(
         directory, "labels_" + time.strftime("%Y%m%d%H%M%S") + ".txt")
+
+
+def read_label_map_snapshot(path: str) -> Dict[int, int]:
+    """Read a label-manifest snapshot written by `read_mask_manifest`
+    (lines of "final_id raw_label") into {raw_label: final_id} — pass
+    as `label_map=` so eval manifests share the training run's ids."""
+    out: Dict[int, int] = {}
+    for ln in _lines(path):
+        new_id, old = ln.split()
+        out[int(old)] = int(new_id)
+    return out
 
 
 def read_voc_manifest(path: str) -> List[DetectionSample]:

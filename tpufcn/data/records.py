@@ -124,7 +124,16 @@ class RecordWriter:
 
 
 class RecordReader:
-    """Random access + iteration over a set of shards."""
+    """Random access + iteration over a set of shards.
+
+    Shard file handles are opened lazily and kept for the reader's
+    lifetime (per-record open/close is pure syscall overhead on the
+    training hot path).  Consequently a reader instance is NOT safe for
+    concurrent `read()` from multiple threads (seek/read interleave on
+    the shared handle) — give each worker its own reader.  Instances
+    pickle cleanly (spawn workers): handles are dropped on pickling and
+    reopen lazily in the child.
+    """
 
     def __init__(self, prefix: str):
         self.shards = sorted(
@@ -163,6 +172,11 @@ class RecordReader:
             if f is not None:
                 f.close()
         self._handles = [None] * len(self.shards)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_handles"] = [None] * len(self.shards)
+        return state
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(len(self)):

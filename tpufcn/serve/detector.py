@@ -265,13 +265,7 @@ class Detector:
                         **kwargs) -> "Detector":
         """Load serving weights from a Trainer orbax snapshot directory
         (the .caffemodel-loading path lives in serve/launch.py)."""
-        import os
-        import orbax.checkpoint as ocp
+        from tpufcn.train.trainer import load_snapshot_params
         det = cls(model_name, **kwargs)
-        mgr = ocp.CheckpointManager(os.path.abspath(snapshot_dir))
-        step = step if step is not None else mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints in {snapshot_dir}")
-        restored = mgr.restore(step)
-        det.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        det.params = load_snapshot_params(snapshot_dir, step)
         return det

@@ -123,6 +123,7 @@ def evaluate_segmentation(gt_masks: Sequence[np.ndarray],
     """
     C = int(num_classes)
     cm = np.zeros((C, C), np.int64)
+    invalid = 0
     for gt, pred in zip(gt_masks, pred_masks):
         g = np.asarray(gt).reshape(-1).astype(np.int64)
         p = np.asarray(pred).reshape(-1).astype(np.int64)
@@ -132,8 +133,19 @@ def evaluate_segmentation(gt_masks: Sequence[np.ndarray],
         keep = (g >= 0) & (g < C) & (p >= 0) & (p < C)
         if ignore_label is not None:
             keep &= g != ignore_label
+            invalid += int(((g < 0) | (g >= C))[g != ignore_label].sum())
+        else:
+            invalid += int(((g < 0) | (g >= C)).sum())
         cm += np.bincount(g[keep] * C + p[keep],
                           minlength=C * C).reshape(C, C)
+    if invalid:
+        # out-of-range GT usually means num_classes is wrong — silently
+        # dropping those pixels would inflate every metric
+        import warnings
+        warnings.warn(
+            f"evaluate_segmentation: {invalid} GT pixels outside "
+            f"[0, {C}) were excluded — check num_classes",
+            stacklevel=2)
     tp = np.diag(cm).astype(np.float64)
     gt_count = cm.sum(axis=1).astype(np.float64)
     pr_count = cm.sum(axis=0).astype(np.float64)
@@ -149,6 +161,7 @@ def evaluate_segmentation(gt_masks: Sequence[np.ndarray],
         "pixel_accuracy": float(tp.sum() / total) if total else 0.0,
         "mean_class_accuracy":
             float((tp[seen] / gt_count[seen]).mean()) if seen.any() else 0.0,
+        "invalid_gt_pixels": invalid,
         "confusion": cm,
     }
 

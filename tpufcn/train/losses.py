@@ -93,5 +93,11 @@ def detectnet_loss(outputs: Dict[str, jax.Array],
         total = total + seg_weight * s
         metrics["loss_seg"] = s
 
+    if not metrics:
+        # trace-time check: a seg-only model with with_seg=False would
+        # otherwise "train" on a constant zero loss with no diagnostic
+        raise ValueError(
+            f"no loss term matches the model outputs {sorted(outputs)}; "
+            "seg-only families need with_seg=True")
     metrics["loss_total"] = total
     return total, metrics

@@ -27,6 +27,19 @@ from tpufcn.train.step import (
     TrainState, batch_sharding, init_state, make_train_step)
 
 
+def load_snapshot_params(snapshot_dir: str, step: Optional[int] = None):
+    """Params-only restore from a Trainer orbax snapshot directory —
+    the serving/eval weight-loading path (the .caffemodel analog lives
+    in tpufcn/convert).  Shared by Detector.from_checkpoint and the
+    eval CLI."""
+    mgr = ocp.CheckpointManager(os.path.abspath(snapshot_dir))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {snapshot_dir}")
+    restored = mgr.restore(step)
+    return jax.tree_util.tree_map(jnp.asarray, restored["params"])
+
+
 class MetricLogger:
     """Smoothed-loss console metrics (reference solver display semantics)
     plus throughput/step-time meters."""
