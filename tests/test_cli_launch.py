@@ -178,6 +178,59 @@ def test_cli_eval_seg_mean_iou(tmp_path, rng, capsys):
     assert "1" in rec["iou"]   # the GT object class is scored
 
 
+def test_cli_train_seg_manifest_eval(tmp_path, rng, capsys):
+    """Online seg workflow: mask manifest -> train (seg-only family,
+    with_seg derived from the model's heads) -> snapshot -> eval
+    --format seg --weights (the semantic_segmentation recipe's loop).
+    Regression: the seg-only loss path + heads-driven with_seg."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.models import registry
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 100, (64, 64, 3)).astype(np.uint8)
+            msk = np.zeros((64, 64), np.uint8)
+            msk[10:40, 12:44] = 255
+            img[10:40, 12:44] = (210, 50, 60)
+            ip, mp = str(tmp_path / f"i{i}.png"), str(tmp_path / f"m{i}.png")
+            cv.imwrite(ip, img)
+            cv.imwrite(mp, msk)
+            f.write(f"{ip} {mp} 1 12 10 32 30\n")
+            f.write("ignored\n")
+
+    grid = GridConfig(64, 64, stride=16, num_classes=2)
+    registry.register("_tiny_seg_train_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.bfloat16, **kw: registry.FCN32sSeg(
+            num_classes=kw.pop("num_classes", 2), dtype=dtype, **kw),
+        grid=grid, preprocessing="demean", background_channel=0,
+        heads=("seg",),
+        reference="train/semantic_segmentation/train_val.prototxt"))
+    recipes.RECIPES["_tiny_seg_recipe_test"] = lambda **o: \
+        dataclasses.replace(TrainConfig(
+            grid=grid, data=DataConfig(batch_size=2),
+            model="_tiny_seg_train_test", optimizer="adam",
+            learning_rate=1e-4, max_iter=2, snapshot_every=0,
+            log_every=1), **o)
+    snap = str(tmp_path / "snap")
+    try:
+        main(["train", "--recipe", "_tiny_seg_recipe_test",
+              "--manifest", man, "--snapshot-dir", snap])
+        assert "trained to step 2" in capsys.readouterr().out
+        main(["eval", "--manifest", man, "--format", "seg",
+              "--model", "_tiny_seg_train_test", "--weights", snap])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["images"] == 2
+        assert 0.0 <= rec["mean_iou"] <= 1.0
+    finally:
+        del recipes.RECIPES["_tiny_seg_recipe_test"]
+        del registry._REGISTRY["_tiny_seg_train_test"]
+
+
 def test_cli_train_seg_recipe_rejects_records(tmp_path):
     from tpufcn.cli import main
     with pytest.raises(SystemExit, match="detection recipes"):

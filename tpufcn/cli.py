@@ -41,7 +41,10 @@ def _cmd_train(args):
 
     if not args.records and not args.manifest:
         raise SystemExit("one of --manifest or --records is required")
-    with_seg = args.recipe in ("fcn_bbox", "semantic_segmentation")
+    # seg supervision follows the MODEL's head contract, not the recipe
+    # name — custom recipes over seg families get the seg loss too
+    from tpufcn.models import get_spec
+    with_seg = "seg" in get_spec(cfg.model).heads
     if args.records:
         # offline path: pre-built record shards (the reference's LMDB
         # DataLayer analog, create_training_lmdb.py) instead of online
