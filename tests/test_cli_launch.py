@@ -231,6 +231,54 @@ def test_cli_train_seg_manifest_eval(tmp_path, rng, capsys):
         del registry._REGISTRY["_tiny_seg_train_test"]
 
 
+def test_cli_train_joint_bbox_seg_manifest(tmp_path, rng, capsys):
+    """The fcn_bbox recipe's CLI loop: a joint bbox+coverage+seg family
+    (FCN8sBBox, reference train/fcn_bbox/train_val.prototxt) trained from
+    an online mask manifest — the pipeline must emit BOTH grid tops and
+    seg labels, and the loss must fire all three heads."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.models import registry
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 100, (64, 64, 3)).astype(np.uint8)
+            msk = np.zeros((64, 64), np.uint8)
+            msk[10:40, 12:44] = 255
+            img[10:40, 12:44] = (210, 50, 60)
+            ip, mp = str(tmp_path / f"j{i}.png"), str(tmp_path / f"n{i}.png")
+            cv.imwrite(ip, img)
+            cv.imwrite(mp, msk)
+            f.write(f"{ip} {mp} 1 12 10 32 30\n")
+            f.write("ignored\n")
+
+    grid = GridConfig(64, 64, stride=8, num_classes=3)
+    registry.register("_tiny_joint_cli_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.bfloat16, **kw: registry.FCN8sBBox(
+            num_classes=kw.pop("num_classes", 3), dtype=dtype, **kw),
+        grid=grid, preprocessing="demean", background_channel=0,
+        heads=("coverage", "bboxes", "seg"),
+        reference="train/fcn_bbox/train_val.prototxt"))
+    recipes.RECIPES["_tiny_joint_recipe_test"] = lambda **o: \
+        dataclasses.replace(TrainConfig(
+            grid=grid, data=DataConfig(batch_size=2),
+            model="_tiny_joint_cli_test", optimizer="sgd",
+            learning_rate=1e-8, momentum=0.9, max_iter=1,
+            snapshot_every=0, log_every=1), **o)
+    try:
+        main(["train", "--recipe", "_tiny_joint_recipe_test",
+              "--manifest", man,
+              "--snapshot-dir", str(tmp_path / "snap")])
+        assert "trained to step 1" in capsys.readouterr().out
+    finally:
+        del recipes.RECIPES["_tiny_joint_recipe_test"]
+        del registry._REGISTRY["_tiny_joint_cli_test"]
+
+
 def test_cli_train_seg_recipe_rejects_records(tmp_path):
     from tpufcn.cli import main
     with pytest.raises(SystemExit, match="detection recipes"):
