@@ -32,6 +32,23 @@ def test_lrn_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_lrn_fp8_storage_input(rng):
+    """Serving mode feeds LRN an f8e5m2 STORAGE buffer (pool1's output —
+    models/googlenet.py): the fast path must compute through bf16 on the
+    same values and emit back in the input dtype."""
+    x8 = jnp.asarray(
+        rng.standard_normal((2, 7, 9, 16), dtype=np.float32)).astype(
+            jnp.float8_e5m2)
+    got = lrn_across_channels(x8, 5, 1e-4, 0.75)
+    assert got.dtype == jnp.float8_e5m2
+    want = lrn_across_channels(x8.astype(jnp.bfloat16), 5, 1e-4, 0.75)
+    # same values in, bf16 compute both ways; only the final rounding
+    # (f32 -> e5m2 direct vs f32 -> bf16 -> e5m2) may differ by 1 ulp
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.13, atol=1e-6)
+
+
 def test_max_pool_ceil_mode(rng):
     # 224 -> 112 under Caffe ceil mode (floor mode gives 111): the
     # GoogLeNet pool1 case, reference models/deploy.prototxt.

@@ -160,7 +160,14 @@ class GoogLeNetDetectNet(nn.Module):
     # (default; training + parity tests use this).
     store_dtype: Any = None
     store_blocks: bool = False  # also store inception concats compactly
-    store_stem2: bool = False   # also store conv2 / LRN2 outputs compactly
+    store_stem2: bool = False   # also store conv2_reduce / conv2 / LRN2
+    #   outputs compactly.  The pool1/pool2 output buffers additionally
+    #   stay in the storage dtype whenever their inputs do: max over fp8
+    #   values is fp8-exact, so the buffer holds the SAME values either
+    #   way — it only shrinks the bytes the consumers (LRN1's window
+    #   matmul, inception_3a's four branches) pull from HBM (pool3
+    #   already stays compact).  Measured +115 img/s together with the
+    #   reduce-output storage (BENCH.md round-2 late).
 
     def _q(self, x):
         return x.astype(self.store_dtype) if self.store_dtype is not None \
@@ -179,15 +186,18 @@ class GoogLeNetDetectNet(nn.Module):
         x = self._q(nn.relu(SpaceToDepthStemConv(
             64, 7, 3, dtype=self.dtype, name="conv1/7x7_s2")(x)))
         x = max_pool_caffe(x, 3, 2)                  # pool1/3x3_s2 (max on
-        x = x.astype(self.dtype)                     #  fp8 is exact)
+        if self.store_dtype is None:                 #  fp8 is exact; keep
+            x = x.astype(self.dtype)                 #  the compact buffer)
         x = self._q(LRN(name="pool1/norm1")(x).astype(self.dtype))
-        x = conv_relu(x.astype(self.dtype), 64, 1,
-                      name="conv2/3x3_reduce", **d)
-        x = self._q2(conv_relu(x, 192, 3, pad=1, name="conv2/3x3", **d))
+        x = self._q2(conv_relu(x.astype(self.dtype), 64, 1,
+                               name="conv2/3x3_reduce", **d))
+        x = self._q2(conv_relu(x.astype(self.dtype), 192, 3, pad=1,
+                               name="conv2/3x3", **d))
         x = self._q2(LRN(name="conv2/norm2")(
             x.astype(self.dtype)).astype(self.dtype))
         x = max_pool_caffe(x, 3, 2)                  # pool2/3x3_s2 (max on
-        x = x.astype(self.dtype)                     #  fp8 is exact)
+        if not (self.store_stem2 and self.store_dtype is not None):
+            x = x.astype(self.dtype)                 #  fp8 is exact)
 
         blk_kw = dict(dtype=self.dtype, store_dtype=self.store_dtype
                       if self.store_blocks else None)

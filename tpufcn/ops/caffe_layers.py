@@ -53,6 +53,12 @@ def lrn_across_channels(x: jax.Array,
     instead of a transcendental pow.
     """
     c = x.shape[-1]
+    if x.dtype in (jnp.float8_e5m2, jnp.float8_e4m3fn):
+        # fp8 STORAGE input (serving mode): the values are fp8-exact, so
+        # computing through bf16 loses nothing; reading the 8-bit buffer
+        # halves this chain's HBM pull.  Emit back in the input dtype.
+        return lrn_across_channels(x.astype(jnp.bfloat16), size, alpha,
+                                   beta, k).astype(x.dtype)
     if x.dtype == jnp.bfloat16:
         # fast path: bf16 squares + single-pass MXU matmul (~0.5% scale
         # error -> <0.4% output error; full-precision parity runs use a
