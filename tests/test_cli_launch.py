@@ -279,10 +279,60 @@ def test_cli_train_joint_bbox_seg_manifest(tmp_path, rng, capsys):
         del registry._REGISTRY["_tiny_joint_cli_test"]
 
 
-def test_cli_train_seg_recipe_rejects_records(tmp_path):
+def test_cli_train_seg_only_rejects_records(tmp_path):
+    # records store box labels, not masks: a seg-ONLY model has nothing
+    # to train from them
     from tpufcn.cli import main
-    with pytest.raises(SystemExit, match="detection recipes"):
-        main(["train", "--recipe", "fcn_bbox", "--records",
+    with pytest.raises(SystemExit, match="segmentation-only"):
+        main(["train", "--recipe", "semantic_segmentation", "--records",
               str(tmp_path / "ds")])
     with pytest.raises(SystemExit, match="manifest or --records"):
         main(["train", "--recipe", "bounding_box"])
+
+
+def test_cli_train_joint_model_records_trains_detection_heads(
+        tmp_path, rng, capsys):
+    """A joint bbox+seg family (fcn8s_bbox) over --records trains its
+    DETECTION heads from the box labels (seg head unsupervised) instead
+    of rejecting — records simply carry no masks."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.models import registry
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.uint8)
+            img[12:44, 10:34] = (220, 40, 90)
+            ip = str(tmp_path / f"i{i}.png")
+            cv.imwrite(ip, img)
+            f.write(f"{ip} 10 12 24 32 1\n")
+    prefix = str(tmp_path / "rec/ds")
+    main(["records", "--manifest", man, "--out", prefix])
+
+    grid = GridConfig(64, 64, stride=8, num_classes=3)
+    registry.register("_tiny_joint_rec_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.bfloat16, **kw: registry.FCN8sBBox(
+            num_classes=kw.pop("num_classes", 3), dtype=dtype, **kw),
+        grid=grid, preprocessing="demean", background_channel=0,
+        heads=("coverage", "bboxes", "seg"),
+        reference="train/fcn_bbox/train_val.prototxt"))
+    recipes.RECIPES["_tiny_joint_rec_recipe"] = lambda **o: \
+        dataclasses.replace(TrainConfig(
+            grid=grid, data=DataConfig(batch_size=2),
+            model="_tiny_joint_rec_test", optimizer="sgd",
+            learning_rate=1e-8, momentum=0.9, max_iter=1,
+            snapshot_every=0, log_every=1), **o)
+    try:
+        main(["train", "--recipe", "_tiny_joint_rec_recipe",
+              "--records", prefix,
+              "--snapshot-dir", str(tmp_path / "snap")])
+        out, err = capsys.readouterr()
+        assert "trained to step 1" in out
+        assert "seg head unsupervised" in err
+    finally:
+        del recipes.RECIPES["_tiny_joint_rec_recipe"]
+        del registry._REGISTRY["_tiny_joint_rec_test"]

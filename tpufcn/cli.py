@@ -48,12 +48,18 @@ def _cmd_train(args):
     if args.records:
         # offline path: pre-built record shards (the reference's LMDB
         # DataLayer analog, create_training_lmdb.py) instead of online
-        # compositing.  Detection recipes only — records store box
-        # labels, not segmentation masks.
-        if with_seg:
+        # compositing.  Records store box labels, not segmentation
+        # masks, so a seg-ONLY model cannot train from them; a joint
+        # bbox+seg family (fcn8s_bbox) trains its detection heads only.
+        heads = get_spec(cfg.model).heads
+        if heads == ("seg",):
             raise SystemExit(
-                "--records is for detection recipes (records store "
-                "box labels, not segmentation masks)")
+                "--records cannot train a segmentation-only model "
+                "(records store box labels, not masks); use --manifest")
+        if with_seg:
+            print("note: records store box labels only — training the "
+                  "detection heads, seg head unsupervised", file=sys.stderr)
+            with_seg = False
         from tpufcn.data.pipeline import RecordTrainPipeline
         pipe = RecordTrainPipeline(args.records, cfg.grid,
                                    batch_size=cfg.data.batch_size)

@@ -71,8 +71,10 @@ register("googlenet_detectnet_1cls", ModelSpec(
 ))
 register("googlenet_detectnet_serving", ModelSpec(
     # The flagship's serving configuration: f8e5m2 activation STORAGE
-    # for the stem tensors (conv1/LRN1/conv2/LRN2), the fused-1x1
-    # branch tensors, and the inception concats; all compute bf16.
+    # for the stem tensors (conv1/LRN1/conv2_reduce/conv2/LRN2 outputs
+    # plus the pool1/pool2 buffers, which stay fp8 exactly), the
+    # fused-1x1 branch tensors, and the inception concats; all compute
+    # bf16.
     # Same param tree as googlenet_detectnet (checkpoints interchange);
     # accuracy tracked in bench extras (mAP 0.995 vs exact 0.992).
     factory=lambda dtype=jnp.bfloat16, **kw: GoogLeNetDetectNet(
