@@ -136,3 +136,44 @@ def test_vgg_ilsvrc_name_mapping(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(out["params"]["backbone"]["conv1_1"]["conv"]["bias"]),
         bias)
+
+
+def test_truncated_caffemodel_raises(tmp_path, rng):
+    """A truncated .caffemodel must fail LOUDLY: the old parser sliced
+    short past EOF, returned a flat blob, and convert_caffemodel then
+    skipped the layer via its ndim!=4 branch — leaving RANDOM init in
+    place even under strict=True."""
+    import pytest
+    layers = {
+        "conv1": [rng.standard_normal((8, 3, 5, 5), dtype=np.float32),
+                  rng.standard_normal(8, dtype=np.float32)],
+    }
+    p = str(tmp_path / "w.caffemodel")
+    write_caffemodel(p, layers)
+    raw = open(p, "rb").read()
+    for cut in (len(raw) - 17, len(raw) // 2):
+        pt = str(tmp_path / f"t{cut}.caffemodel")
+        with open(pt, "wb") as f:
+            f.write(raw[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            load_caffemodel(pt)
+
+
+def test_blob_shape_data_mismatch_raises(tmp_path):
+    """A blob whose declared shape disagrees with its data size (corrupt
+    file, partial write at a record boundary) raises instead of parsing
+    as an unshaped flat array."""
+    import pytest
+    from tpufcn.convert.caffe_pb import _field, _len_field, _varint
+
+    # BlobProto: shape (2, 3) but only 5 floats of data
+    shape_msg = _field(1, 0, _varint(2)) + _field(1, 0, _varint(3))
+    data = np.arange(5, dtype="<f4").tobytes()
+    blob = _len_field(7, shape_msg) + _len_field(5, data)
+    layer = _len_field(1, b"conv1") + _len_field(7, blob)
+    body = _len_field(1, b"net") + _len_field(100, layer)
+    p = str(tmp_path / "bad.caffemodel")
+    with open(p, "wb") as f:
+        f.write(body)
+    with pytest.raises(ValueError, match="does not match declared shape"):
+        load_caffemodel(p)

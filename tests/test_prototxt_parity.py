@@ -180,3 +180,34 @@ def test_parser_golden_pyramid_shapes():
     assert blobs["conv4_3/7x7/upsample"] == (128, 28, 28)
     assert blobs["conv4_3/conv5_3/concat"] == (512 + 512 + 4 * 128, 28, 28)
     assert blobs["coverage"] == (20, 28, 28)
+
+
+def test_parser_rejects_malformed_prototxt():
+    from tpufcn.convert.prototxt import parse_prototxt
+    # unclosed brace (truncated copy ending mid-layer)
+    with pytest.raises(ValueError, match="unclosed"):
+        parse_prototxt('layer { name: "conv9"')
+    # dangling key at EOF
+    with pytest.raises(ValueError, match="dangling key"):
+        parse_prototxt('layer { name: "c" } trailing')
+    # dangling "key:" at EOF must be ValueError, not IndexError
+    with pytest.raises(ValueError, match="missing value"):
+        parse_prototxt('name:')
+    # unmatched closing brace
+    with pytest.raises(ValueError, match="unmatched"):
+        parse_prototxt('name: "n" }')
+
+
+def test_parser_rejects_nonuniform_geometry():
+    from tpufcn.convert.prototxt import (
+        conv_geometry, infer_shapes, parse_prototxt)
+    net = parse_prototxt("""
+layer {
+  name: "c" type: "Convolution" bottom: "data" top: "c"
+  convolution_param { num_output: 8 kernel_h: 3 kernel_w: 1 }
+}
+""")
+    with pytest.raises(NotImplementedError, match="kernel_h"):
+        conv_geometry(net["layer"][0])
+    with pytest.raises(NotImplementedError, match="kernel_h"):
+        infer_shapes(net, {"data": (3, 8, 8)})

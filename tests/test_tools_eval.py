@@ -190,3 +190,61 @@ def test_evaluate_detections_perfect_and_miss():
              (np.zeros((0, 4)), np.zeros(0), np.zeros(0))]
     res2 = evaluate_detections(gt, dets2, num_classes=1)
     assert res2["mAP"] == pytest.approx(0.5)
+
+
+def test_capture_node_resumes_numbering(tmp_path, rng):
+    """A second capture session into the same out_dir must continue the
+    frame numbering (the appended manifest still references the first
+    session's files) instead of overwriting 00000000.jpg onward."""
+    out = str(tmp_path / "cap2")
+    for session, expect in ((0, "00000000.jpg"), (1, "00000001.jpg")):
+        bus = TopicBus()
+        w = ImageRectWriter(bus, out, label=1)
+        img = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+        bus.publish("/camera/rgb/image_rect_color", img, stamp=1.0)
+        bus.publish("/object_rect", [5, 5, 20, 20], stamp=1.0)
+        bus.spin_once()
+        assert os.path.exists(os.path.join(out, expect))
+    samples = read_detection_manifest(
+        os.path.join(out, "train.txt"))
+    assert len(samples) == 2
+    assert samples[0].image_path != samples[1].image_path
+
+
+def test_crop_clamps_out_of_frame_rect(rng, extractor):
+    """A tracker box fully right of / below the frame must yield a
+    non-empty crop (cv.resize aborts on empty input) in both the
+    refiner and the ranking tool."""
+    img = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+    refiner = BoundaryRefiner(extractor=extractor)
+    for rect in ([60, 10, 20, 20], [10, 45, 20, 20], [-30, -30, 10, 10]):
+        crop = refiner._crop(img, rect)
+        assert crop.size > 0
+        extractor([crop])  # must not raise
+
+    ip = str(rng.integers(0, 10))  # path unused thanks to imread stub
+    ranker = RankObjectProposals(
+        extractor=extractor, imread=lambda _: img)
+    codes = ranker.codes_for([DetectionSample(
+        ip, np.asarray([[60, 45, 20, 20]]), np.asarray([0]))])
+    assert codes.shape[0] == 1
+
+
+def test_refine_multi_rect_sample_keeps_invariant(tmp_path, rng, extractor):
+    """refine() walks single-object sequences (rects[0] only, like the
+    reference); a multi-box VOC sample must come back with matching
+    (1, 4) rects and (1,) labels, not 1 rect + M labels."""
+    paths = []
+    for i in range(2):
+        img = _scene(rng, 40 + 4 * i, 30)
+        p = str(tmp_path / f"m{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    samples = [DetectionSample(
+        p, np.asarray([[40, 30, 30, 40], [5, 5, 10, 10]]),
+        np.asarray([0, 3])) for p in paths]
+    refined = BoundaryRefiner(extractor=extractor).refine(samples)
+    for s in refined:
+        assert s.rects.shape == (1, 4)
+        assert s.labels.shape == (1,)
+        assert s.labels[0] == 0

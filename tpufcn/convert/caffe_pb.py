@@ -39,22 +39,43 @@ def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
 
 
 def iter_fields(buf: memoryview) -> Iterator[Tuple[int, int, object]]:
-    """Yields (field_number, wire_type, value) over one message body."""
+    """Yields (field_number, wire_type, value) over one message body.
+
+    Raises ValueError when a field's payload runs past the end of the
+    buffer — a truncated .caffemodel must fail loudly here, not load
+    with silently short weight blobs."""
     pos = 0
     n = len(buf)
     while pos < n:
-        key, pos = _read_varint(buf, pos)
+        try:
+            key, pos = _read_varint(buf, pos)
+        except IndexError:
+            raise ValueError(f"truncated varint at byte {pos}") from None
         field, wire = key >> 3, key & 7
         if wire == 0:
-            val, pos = _read_varint(buf, pos)
+            try:
+                val, pos = _read_varint(buf, pos)
+            except IndexError:
+                raise ValueError(
+                    f"truncated varint field {field} at byte {pos}") from None
         elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError(f"truncated 64-bit field {field} "
+                                 f"at byte {pos}")
             val = bytes(buf[pos:pos + 8])
             pos += 8
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError(
+                    f"truncated length-delimited field {field} at byte "
+                    f"{pos}: declared {ln} bytes, {n - pos} remain")
             val = buf[pos:pos + ln]
             pos += ln
         elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError(f"truncated 32-bit field {field} "
+                                 f"at byte {pos}")
             val = bytes(buf[pos:pos + 4])
             pos += 4
         else:
@@ -87,7 +108,14 @@ def _parse_blob(buf: memoryview) -> np.ndarray:
     arr = np.concatenate(data) if data else np.zeros(0, np.float32)
     if not shape and dims_legacy:
         shape = [dims_legacy.get(i, 1) for i in (1, 2, 3, 4)]
-    if shape and int(np.prod(shape)) == arr.size:
+    if shape:
+        if int(np.prod(shape)) != arr.size:
+            # corrupt/truncated blob: returning the flat array here let
+            # convert_caffemodel silently skip the layer (leaving its
+            # RANDOM init in place) even under strict=True
+            raise ValueError(
+                f"blob data size {arr.size} does not match declared "
+                f"shape {tuple(shape)} — corrupt or truncated caffemodel")
         arr = arr.reshape(shape)
     return arr
 

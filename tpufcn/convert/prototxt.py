@@ -41,21 +41,29 @@ def _tokenize(text: str) -> List[str]:
     return out
 
 
-def _parse_msg(tokens: List[str], pos: int) -> Tuple[Msg, int]:
+def _parse_msg(tokens: List[str], pos: int,
+               nested: bool = False) -> Tuple[Msg, int]:
     msg: Msg = {}
     n = len(tokens)
     while pos < n:
         tok = tokens[pos]
         if tok == "}":
+            if not nested:
+                raise ValueError(f"unmatched '}}' at token {pos}")
             return msg, pos + 1
         key = tok
         pos += 1
         if pos >= n:
-            break
+            raise ValueError(
+                f"dangling key {key!r} at end of prototxt (truncated?)")
         if tokens[pos] == ":":
             pos += 1
+            if pos >= n:
+                raise ValueError(
+                    f"missing value for {key!r} at end of prototxt "
+                    "(truncated?)")
             if tokens[pos] == "{":  # "key: { ... }" message form
-                sub, pos = _parse_msg(tokens, pos + 1)
+                sub, pos = _parse_msg(tokens, pos + 1, nested=True)
                 msg.setdefault(key, []).append(sub)
                 continue
             val = tokens[pos]
@@ -64,17 +72,27 @@ def _parse_msg(tokens: List[str], pos: int) -> Tuple[Msg, int]:
                 val = val[1:-1]
             msg.setdefault(key, []).append(val)
         elif tokens[pos] == "{":
-            sub, pos = _parse_msg(tokens, pos + 1)
+            sub, pos = _parse_msg(tokens, pos + 1, nested=True)
             msg.setdefault(key, []).append(sub)
         else:
             raise ValueError(f"unexpected token {tokens[pos]!r} after {key!r}")
+    if nested:
+        # a truncated file (e.g. a partial copy ending mid-layer) must
+        # not parse into a silently shorter net
+        raise ValueError("unclosed '{' at end of prototxt (truncated?)")
     return msg, pos
 
 
 def parse_prototxt(text: str) -> Msg:
-    """Parse prototxt text into a nested dict-of-lists message."""
-    msg, pos = _parse_msg(_tokenize(text), 0)
-    if pos != len(_tokenize(text)):  # pragma: no cover - malformed input
+    """Parse prototxt text into a nested dict-of-lists message.
+
+    Malformed/truncated input (unclosed or unmatched braces, a dangling
+    key at EOF) raises ValueError — the structural-parity tests rely on
+    a corrupt prototxt failing loudly rather than yielding a partial
+    layer list."""
+    tokens = _tokenize(text)
+    msg, pos = _parse_msg(tokens, 0)
+    if pos != len(tokens):  # pragma: no cover - malformed input
         raise ValueError("trailing tokens in prototxt")
     return msg
 
@@ -99,9 +117,25 @@ def layers(net: Msg, phase: str = "TEST") -> List[Msg]:
     return out
 
 
+_NONUNIFORM_GEOM_KEYS = ("kernel_h", "kernel_w", "stride_h", "stride_w",
+                         "pad_h", "pad_w", "dilation")
+
+
+def _reject_nonuniform(p: Msg, where: str) -> None:
+    # only the uniform kernel_size/stride/pad keys are modeled; a
+    # prototxt using per-axis keys or dilation must fail loudly, not
+    # parse as kernel=0 (none of the reference's prototxts use them)
+    used = [k for k in _NONUNIFORM_GEOM_KEYS if p.get(k)]
+    if used:
+        raise NotImplementedError(
+            f"{where}: unsupported geometry keys {used} (only uniform "
+            "kernel_size/stride/pad are modeled)")
+
+
 def conv_geometry(lyr: Msg) -> Dict[str, int]:
     """(num_output, kernel, stride, pad, group) with Caffe defaults."""
     p = first(lyr, "convolution_param", {})
+    _reject_nonuniform(p, first(lyr, "name", "conv"))
     return {
         "num_output": int(first(p, "num_output", 0)),
         "kernel": int(first(p, "kernel_size", 0)),
@@ -204,6 +238,7 @@ def infer_shapes(net: Msg, inputs: Dict[str, Tuple[int, int, int]],
             elif first(p, "global_pooling") == "true":
                 blobs[tops[0]] = (b0[0], 1, 1)
             else:
+                _reject_nonuniform(p, first(lyr, "name", "pool"))
                 k = int(first(p, "kernel_size", 0))
                 s = int(first(p, "stride", 1))
                 pd = int(first(p, "pad", 0))

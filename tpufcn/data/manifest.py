@@ -53,6 +53,18 @@ def read_detection_manifest(path: str,
     return out
 
 
+def detection_line(image_path: str, rect, label,
+                   one_based_labels: bool = True) -> str:
+    """One ``path x y w h label`` detection-manifest line (the reference
+    train.txt format, reference README.md:45-49).  The single formatter
+    for every writer (capture node, boundary refinement, proposal
+    ranking) — the inverse of :func:`read_detection_manifest`, which
+    subtracts the one-based offset this adds."""
+    x, y, w, h = [int(v) for v in rect]
+    return (f"{image_path} {x} {y} {w} {h} "
+            f"{int(label) + (1 if one_based_labels else 0)}")
+
+
 def read_mask_manifest(path: str,
                        line_stride: int = 2,
                        background_offset: int = 0,

@@ -64,7 +64,11 @@ class BoundaryRefiner:
 
     def _crop(self, img, rect):
         x, y, w, h = [int(v) for v in rect]
-        x, y = max(x, 0), max(y, 0)
+        # clamp the origin INSIDE the frame (a tracker box fully right
+        # of / below the image otherwise yields an empty slice and
+        # cv.resize aborts on it), then the extent to the frame
+        x = min(max(x, 0), img.shape[1] - 1)
+        y = min(max(y, 0), img.shape[0] - 1)
         w = max(min(w, img.shape[1] - x), 1)
         h = max(min(h, img.shape[0] - y), 1)
         return img[y:y + h, x:x + w]
@@ -74,7 +78,12 @@ class BoundaryRefiner:
         """Offline sequence walk (reference :77-157): refine each frame's
         box with the tracker; accept when the refined crop's CNN code is
         close to the previous frame's (Bhattacharyya below threshold),
-        else keep the original annotation."""
+        else keep the original annotation.
+
+        Single-object sequences only (like the reference, which reads
+        one tracker box per frame): only ``rects[0]``/``labels[0]`` of
+        each sample are used, and the refined samples carry exactly one
+        rect + one label."""
         out: List[DetectionSample] = []
         prev_img = None
         prev_rect = None
@@ -95,17 +104,18 @@ class BoundaryRefiner:
             code_now = self.extractor([self._crop(img, refined)])[0]
             out.append(DetectionSample(
                 s.image_path, np.asarray([refined], np.int32),
-                s.labels.copy()))
+                s.labels[:1].copy()))
             prev_img, prev_rect, prev_code = img, refined, code_now
         return out
 
     def refine_manifest(self, samples: Sequence[DetectionSample],
                         out_path: str,
                         one_based_labels: bool = True) -> int:
+        from tpufcn.data.manifest import detection_line
         refined = self.refine(samples)
         with open(out_path, "w") as f:
             for s in refined:
-                x, y, w, h = [int(v) for v in s.rects[0]]
-                label = int(s.labels[0]) + (1 if one_based_labels else 0)
-                f.write(f"{s.image_path} {x} {y} {w} {h} {label}\n")
+                f.write(detection_line(s.image_path, s.rects[0],
+                                       s.labels[0], one_based_labels)
+                        + "\n")
         return len(refined)

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 import cv2 as cv
 import numpy as np
 
+from tpufcn.data.manifest import detection_line
 from tpufcn.serve.bus import TimeSynchronizer, TopicBus
 
 
@@ -27,9 +28,15 @@ class ImageRectWriter:
                  queue_size: int = 10):
         self.out_dir = out_dir
         self.label = label
-        self.counter = 0
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = os.path.join(out_dir, manifest_name)
+        # resume-safe numbering: a second capture session into the same
+        # out_dir must not overwrite frames the appended manifest still
+        # references — continue after the highest existing frame number
+        existing = [int(n[:-4]) for n in os.listdir(out_dir)
+                    if len(n) == 12 and n.endswith(".jpg")
+                    and n[:-4].isdigit()]
+        self.counter = max(existing) + 1 if existing else 0
         TimeSynchronizer(bus, [image_topic, rect_topic], self.callback,
                          queue_size=queue_size)
 
@@ -46,5 +53,8 @@ class ImageRectWriter:
         path = os.path.join(self.out_dir, name)
         cv.imwrite(path, img)
         with open(self.manifest, "a") as f:
-            f.write(f"{path} {x} {y} {w} {h} {self.label}\n")
+            # self.label is the literal manifest value (already
+            # one-based by the reference convention), so no offset here
+            f.write(detection_line(path, (x, y, w, h), self.label,
+                                   one_based_labels=False) + "\n")
         self.counter += 1

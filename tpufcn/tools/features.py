@@ -27,6 +27,16 @@ class CnnCodeExtractor:
         self.size = input_size
         self.backbone = VGG16Backbone(dtype=dtype)
         if params is None:
+            # Codes from a RANDOM backbone are far less discriminative
+            # than the pretrained-CaffeNet fc7 codes the reference's
+            # gating thresholds were tuned for (similarity 0.5, dbscan
+            # eps 0.25) — load trained weights (convert_caffemodel /
+            # load_snapshot_params) for production refinement runs.
+            import logging
+            logging.getLogger(__name__).warning(
+                "CnnCodeExtractor built with randomly initialized "
+                "VGG16 weights; similarity gating will be weak — pass "
+                "trained params for real refinement/ranking runs")
             x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
             params = jax.jit(self.backbone.init)(jax.random.key(rng_seed), x0)
         self.params = params

@@ -30,13 +30,21 @@ class RankObjectProposals:
                  kmeans_k: int = 2,
                  ema_rate: float = 0.1,
                  distance_thresh: float = 0.5,
+                 metric: str = "bhattacharyya",
                  imread=cv.imread):
+        # metric: "bhattacharyya" or "chi_square".  The reference walk
+        # uses cv.compareHist with CV_COMP_BHATTACHARYYA on its OpenCV-2
+        # path and HISTCMP_CHISQR on OpenCV-3+ (rank_object_models.py:
+        # 46-52); both are exposed, Bhattacharyya (bounded [0, 1], so
+        # the 0.5 default threshold is meaningful) is the default.
         self.extractor = extractor or CnnCodeExtractor()
         self.dbscan_eps = dbscan_eps
         self.dbscan_min_samples = dbscan_min_samples
         self.kmeans_k = kmeans_k
         self.ema_rate = ema_rate
         self.distance_thresh = distance_thresh
+        self.metric = {"bhattacharyya": bhattacharyya,
+                       "chi_square": chi_square}[metric]
         self.imread = imread
 
     def codes_for(self, samples: Sequence[DetectionSample]) -> np.ndarray:
@@ -44,7 +52,10 @@ class RankObjectProposals:
         for s in samples:
             img = self.imread(s.image_path)
             x, y, w, h = [int(v) for v in s.rects[0]]
-            x, y = max(x, 0), max(y, 0)
+            # clamp the origin INSIDE the frame (an out-of-frame rect
+            # otherwise yields an empty crop and cv.resize aborts)
+            x = min(max(x, 0), img.shape[1] - 1)
+            y = min(max(y, 0), img.shape[0] - 1)
             w = max(min(w, img.shape[1] - x), 1)
             h = max(min(h, img.shape[0] - y), 1)
             crops.append(img[y:y + h, x:x + w])
@@ -74,7 +85,7 @@ class RankObjectProposals:
     def rank(self, samples: Sequence[DetectionSample]) -> np.ndarray:
         """Boolean keep-mask over the sequence."""
         codes = self.codes_for(samples)
-        labels, centroids, knn = self.cluster_data(codes)
+        _, centroids, knn = self.cluster_data(codes)
 
         keep = np.zeros(len(samples), bool)
         template = None
@@ -85,9 +96,8 @@ class RankObjectProposals:
                 prev = code
                 keep[i] = True
                 continue
-            d_t = bhattacharyya(code, template)
-            d_p = bhattacharyya(code, prev)
-            c_t = chi_square(code, template)
+            d_t = self.metric(code, template)
+            d_p = self.metric(code, prev)
             inlier = True
             if knn is not None:
                 dist, _ = knn.kneighbors(code[None])
@@ -99,20 +109,20 @@ class RankObjectProposals:
                 template = ((1 - self.ema_rate) * template
                             + self.ema_rate * code)
                 prev = code
-            _ = c_t  # chi^2 retained for parity diagnostics
         return keep
 
     def write_filtered(self, samples: Sequence[DetectionSample],
                        out_path: str,
                        one_based_labels: bool = True) -> int:
+        from tpufcn.data.manifest import detection_line
         keep = self.rank(samples)
         n = 0
         with open(out_path, "w") as f:
             for s, ok in zip(samples, keep):
                 if not ok:
                     continue
-                x, y, w, h = [int(v) for v in s.rects[0]]
-                label = int(s.labels[0]) + (1 if one_based_labels else 0)
-                f.write(f"{s.image_path} {x} {y} {w} {h} {label}\n")
+                f.write(detection_line(s.image_path, s.rects[0],
+                                       s.labels[0], one_based_labels)
+                        + "\n")
                 n += 1
         return n

@@ -27,6 +27,14 @@ class ROIClassifier:
         self.extractor = extractor or CnnCodeExtractor()
         self.prob_thresh = prob_thresh
         if head is None:
+            # an UNTRAINED random head: with C classes its near-uniform
+            # probs (~1/C) sit below the 0.5 threshold, so every
+            # proposal is rejected until fit_head()/a real head is set
+            import logging
+            logging.getLogger(__name__).warning(
+                "ROIClassifier built with a random untrained head; "
+                "call fit_head() (or pass head=) before classifying — "
+                "the default rejects essentially all proposals")
             rng = np.random.default_rng(seed)
             w = rng.normal(0, 0.01, size=(512, num_classes))
 
