@@ -85,3 +85,21 @@ def test_fcn8s_train_step_with_seg(rng):
     assert int(state2.step) == 1
     for k in ("loss_bbox", "loss_coverage", "loss_seg", "loss_total"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_feature_grid_vis_square():
+    """vis_square analog (reference fcn_object_detector.py:416-426):
+    C maps tile into a ceil(sqrt(C))^2 mosaic, globally normalized."""
+    from tpufcn.serve.viz import feature_grid
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(1, 5, 7, 10)).astype(np.float32)  # NHWC, C=10
+    g = feature_grid(f, pad=1)
+    assert g.dtype == np.uint8
+    # 10 maps -> 4x4 grid of (5+1)x(7+1) padded tiles
+    assert g.shape == (4 * 6, 4 * 8)
+    # tile (0,0) equals the normalized first channel
+    ch0 = f[0, :, :, 0]
+    want = (ch0 - f.min()) / (f.max() - f.min())
+    np.testing.assert_allclose(g[:5, :7] / 255.0, want, atol=1 / 255.0)
+    # constant input doesn't divide by zero
+    assert feature_grid(np.ones((3, 3, 4))).min() >= 0

@@ -52,3 +52,29 @@ def colorize_pmap(pmap_u8: np.ndarray) -> np.ndarray:
     """JET colormap over a mono8 probability map (reference debug views,
     argumentation_engine.py:644)."""
     return cv.applyColorMap(pmap_u8, cv.COLORMAP_JET)
+
+
+def feature_grid(features: np.ndarray, pad: int = 1) -> np.ndarray:
+    """Tile a (H, W, C) activation tensor into a near-square uint8
+    mosaic — the reference's ``vis_square`` feature-map debug view
+    (fcn_object_detector.py:416-426: pad each map, normalize to [0, 1],
+    arrange ceil(sqrt(C))² tiles row-major).
+
+    Accepts NHWC too (first image is shown).  Returns (GH, GW) uint8.
+    """
+    f = np.asarray(features, np.float32)
+    if f.ndim == 4:
+        f = f[0]
+    if f.ndim != 3:
+        raise ValueError(f"expected (H, W, C) features, got {f.shape}")
+    f = np.moveaxis(f, -1, 0)                      # (C, H, W)
+    lo, hi = f.min(), f.max()
+    f = (f - lo) / (hi - lo) if hi > lo else np.zeros_like(f)
+    n = int(np.ceil(np.sqrt(f.shape[0])))
+    f = np.pad(f, ((0, n * n - f.shape[0]), (0, pad), (0, pad)),
+               constant_values=1.0)                # white separators
+    c, h, w = f.shape
+    grid = (f.reshape(n, n, h, w)
+             .transpose(0, 2, 1, 3)
+             .reshape(n * h, n * w))
+    return (grid * 255.0 + 0.5).astype(np.uint8)
