@@ -323,3 +323,37 @@ def test_parallel_pipeline_batches(tiny_dataset):
         assert b["valid"].any()
     # different worker seeds -> scenes differ across batches
     assert not np.array_equal(batches[0]["image"], batches[1]["image"])
+
+
+def test_records_relabel_contiguous_background(tmp_path, rng):
+    """The reference writer's np.unique relabeling + use_bkgnd shift
+    (create_training_lmdb.py:112-117): sparse manifest labels {2, 7}
+    store as contiguous ids, +1 with a learned background, and the
+    mapping persists as a sidecar."""
+    import json
+    from tpufcn.data.manifest import DetectionSample
+    from tpufcn.data.records import RecordReader, create_detection_records
+
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        p = str(tmp_path / f"r{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    samples = [
+        DetectionSample(paths[0], np.asarray([[2, 2, 8, 8]]),
+                        np.asarray([7])),
+        DetectionSample(paths[1], np.asarray([[4, 4, 8, 8], [1, 1, 6, 6]]),
+                        np.asarray([2, 7])),
+    ]
+    prefix = str(tmp_path / "rec/ds")
+    n = create_detection_records(samples, prefix, shuffle_seed=None,
+                                 relabel_contiguous=True,
+                                 add_background=True)
+    assert n == 2
+    remap = json.load(open(prefix + ".labelmap.json"))
+    assert remap == {"2": 1, "7": 2}
+    r = RecordReader(prefix)
+    stored = sorted(int(l) for i in range(len(r))
+                    for l in r.read(i)["labels"])
+    assert stored == [1, 2, 2]

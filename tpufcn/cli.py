@@ -140,7 +140,9 @@ def _cmd_convert(args):
 def _cmd_records(args):
     from tpufcn.data import create_detection_records, read_detection_manifest
     samples = read_detection_manifest(args.manifest)
-    n = create_detection_records(samples, args.out, augment=args.augment)
+    n = create_detection_records(
+        samples, args.out, augment=args.augment,
+        relabel_contiguous=args.relabel, add_background=args.background)
     print(f"wrote {n} records to {args.out}-*.rec")
 
 
@@ -366,6 +368,14 @@ def main(argv=None):
                    help="bake the reference's offline augmentation chain "
                         "into the shards (original+flip+zoom-crop+blur "
                         "per sample, create_training_lmdb.py:296-356)")
+    r.add_argument("--relabel", action="store_true",
+                   help="remap labels to contiguous 0..K-1 ids (the "
+                        "reference writer's np.unique relabeling; mapping "
+                        "saved as <out>.labelmap.json)")
+    r.add_argument("--background", action="store_true",
+                   help="with a learned background class: contiguous ids "
+                        "shifted +1 so id 0 is background "
+                        "(create_training_lmdb.py use_bkgnd)")
     r.set_defaults(fn=_cmd_records)
 
     v = sub.add_parser("voc")

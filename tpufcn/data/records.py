@@ -252,17 +252,45 @@ def offline_variants(image: np.ndarray, rects, labels,
 def create_detection_records(manifest_samples, out_prefix: str,
                              imread=cv.imread,
                              shuffle_seed: Optional[int] = 0,
-                             augment: bool = False) -> int:
+                             augment: bool = False,
+                             relabel_contiguous: bool = False,
+                             add_background: bool = False) -> int:
     """Offline dataset build (replaces CreateTrainingLMDB, reference
     scripts/misc/create_training_lmdb.py): raw box+label records, image
     stored as JPEG.  ``augment`` bakes the reference's offline
     augmentation chain into the shards (original + flip + zoom-crop +
-    blur per sample — create_training_lmdb.py:296-356).  Returns
-    number of records written."""
+    blur per sample — create_training_lmdb.py:296-356).
+
+    ``relabel_contiguous`` remaps the manifest's label values to
+    contiguous 0..K-1 ids via their sorted unique order, and
+    ``add_background`` additionally shifts them +1 so id 0 is a learned
+    background class — the reference writer's np.unique + use_bkgnd
+    relabeling (create_training_lmdb.py:112-117).  The applied mapping
+    is persisted next to the shards as ``<out_prefix>.labelmap.json``
+    ({original: stored}) so evaluation can invert it.
+
+    Returns number of records written."""
     samples = list(manifest_samples)
     if shuffle_seed is not None:
         np.random.default_rng(shuffle_seed).shuffle(samples)
     rng = np.random.default_rng(shuffle_seed or 0)
+
+    remap = None
+    if relabel_contiguous or add_background:
+        uniq = sorted({int(l) for s in samples for l in s.labels})
+        off = 1 if add_background else 0
+        remap = {orig: i + off for i, orig in enumerate(uniq)}
+        import json
+        import os
+        os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+        with open(out_prefix + ".labelmap.json", "w") as f:
+            json.dump({str(k): v for k, v in remap.items()}, f)
+
+    def _labels(ls):
+        if remap is None:
+            return np.asarray(ls, np.int32)
+        return np.asarray([remap[int(l)] for l in ls], np.int32)
+
     n = 0
     with RecordWriter(out_prefix) as w:
         for s in samples:
@@ -274,13 +302,13 @@ def create_detection_records(manifest_samples, out_prefix: str,
                         img, s.rects, s.labels, rng):
                     w.write_image_record(vimg, {
                         "rects": np.asarray(vrects, np.int32),
-                        "labels": np.asarray(vlabels, np.int32),
+                        "labels": _labels(vlabels),
                     })
                     n += 1
             else:
                 w.write_image_record(img, {
                     "rects": np.asarray(s.rects, np.int32),
-                    "labels": np.asarray(s.labels, np.int32),
+                    "labels": _labels(s.labels),
                 })
                 n += 1
     return n
