@@ -248,3 +248,29 @@ def test_refine_multi_rect_sample_keeps_invariant(tmp_path, rng, extractor):
         assert s.rects.shape == (1, 4)
         assert s.labels.shape == (1,)
         assert s.labels[0] == 0
+
+
+def test_boundary_refiner_live_node(rng, extractor):
+    """Live mode (reference is_online path :326-339, callback :158-245):
+    synced (image, rect) pairs -> tracked rect published in frame
+    coords; the first pair only seeds the template."""
+    from tpufcn.tools import BoundaryRefinerNode
+
+    bus = TopicBus()
+    got = []
+    bus.subscribe("/boundary_refinement/rect", got.append)
+    node = BoundaryRefinerNode(
+        bus, refiner=BoundaryRefiner(extractor=extractor))
+
+    for t, (ox, oy) in enumerate([(40, 30), (46, 34)]):
+        bus.publish("/camera/rgb/image_rect_color", _scene(rng, ox, oy),
+                    stamp=float(t))
+        # the stale rect from frame 0: the tracker should move it
+        bus.publish("/object_rect", [40, 30, 30, 40], stamp=float(t))
+        bus.spin_once()
+    bus.spin_once()  # drain the node's published result to the listener
+
+    assert len(got) == 1  # first pair seeds only
+    x, y, w, h = got[0].data
+    assert (w, h) == (30, 40)
+    assert abs(x - 46) <= 3 and abs(y - 34) <= 3

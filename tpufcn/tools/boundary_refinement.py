@@ -51,6 +51,36 @@ def ncc_track(prev_img: np.ndarray, prev_rect, cur_img: np.ndarray):
     return [sx + max_loc[0], sy + max_loc[1], w, h]
 
 
+class BoundaryRefinerNode:
+    """Live refinement node (reference ``is_online`` path, :326-339 +
+    callback :158-245): exact-time sync over (image, rect) topics, one
+    :meth:`BoundaryRefiner.refine_live` step per pair.  The reference
+    only imshows the refined box; tpufcn publishes it on ``out_topic``
+    (x, y, w, h frame coords) so downstream nodes can consume it —
+    documented deviation."""
+
+    def __init__(self, bus,
+                 refiner: Optional["BoundaryRefiner"] = None,
+                 image_topic: str = "/camera/rgb/image_rect_color",
+                 rect_topic: str = "/object_rect",
+                 out_topic: str = "/boundary_refinement/rect",
+                 queue_size: int = 10):
+        from tpufcn.serve.bus import TimeSynchronizer
+        self.bus = bus
+        self.refiner = refiner or BoundaryRefiner()
+        self.out_topic = out_topic
+        TimeSynchronizer(bus, [image_topic, rect_topic], self.callback,
+                         queue_size=queue_size)
+
+    def callback(self, image_msg, rect_msg):
+        img = np.asarray(image_msg.data)
+        refined = self.refiner.refine_live(
+            img, [int(v) for v in rect_msg.data])
+        if refined is not None:
+            self.bus.publish(self.out_topic, refined,
+                             stamp=image_msg.stamp)
+
+
 class BoundaryRefiner:
     def __init__(self,
                  extractor: Optional[CnnCodeExtractor] = None,
@@ -107,6 +137,29 @@ class BoundaryRefiner:
                 s.labels[:1].copy()))
             prev_img, prev_rect, prev_code = img, refined, code_now
         return out
+
+    def refine_live(self, img: np.ndarray, rect) -> Optional[List[int]]:
+        """One live-callback step (reference :158-245): expand the given
+        rect by the 2.25 context factor, crop the window, track the
+        previous window's box into it, update the template, and return
+        the refined rect in FRAME coordinates (None on the first frame,
+        which only seeds the template — reference :192-195)."""
+        factor = 2.25
+        x, y, w, h = [int(v) for v in rect]
+        cx1 = max(x - int(w / factor), 0)
+        cy1 = max(y - int(h / factor), 0)
+        cx2 = min(x + w + int(w / factor), img.shape[1])
+        cy2 = min(y + h + int(h / factor), img.shape[0])
+        roi = img[cy1:cy2, cx1:cx2]
+        rect_in_roi = [x - cx1, y - cy1, w, h]
+        prev = getattr(self, "_live_prev", None)
+        self._live_prev = (roi, rect_in_roi)
+        if prev is None:
+            return None
+        prev_roi, prev_rect = prev
+        cand = self.track_fn(prev_roi, prev_rect, roi)
+        return [int(cand[0]) + cx1, int(cand[1]) + cy1,
+                int(cand[2]), int(cand[3])]
 
     def refine_manifest(self, samples: Sequence[DetectionSample],
                         out_path: str,
