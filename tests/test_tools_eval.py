@@ -274,3 +274,41 @@ def test_boundary_refiner_live_node(rng, extractor):
     x, y, w, h = got[0].data
     assert (w, h) == (30, 40)
     assert abs(x - 46) <= 3 and abs(y - 34) <= 3
+
+
+def test_roi_classifier_node(rng, extractor):
+    """The reference's disabled subscribe mode as a bus node: detector
+    rects come in as corner-point pairs, confirmed proposals go out the
+    same way with classifier labels."""
+    from tpufcn.serve.stream import RectsMsg
+    from tpufcn.tools import ROIClassifier, ROIClassifierNode
+
+    # train a head that separates bright-object crops (class 1) from
+    # background crops (class 0)
+    imgs = [_scene(rng, 30 + i, 25) for i in range(8)]
+    crops = [im[25:65, 30 + i:60 + i] for i, im in enumerate(imgs)]
+    bgs = [im[80:110, 100:140] for im in imgs]
+    codes = extractor(crops + bgs)
+    labels = np.array([1] * 8 + [0] * 8)
+    clf = ROIClassifier(num_classes=2, extractor=extractor)
+    clf.fit_head(codes, labels, num_classes=2)
+
+    bus = TopicBus()
+    got = []
+    bus.subscribe("/rcnn_detector/rects", got.append)
+    ROIClassifierNode(bus, clf)
+    frame = _scene(rng, 40, 30)
+    bus.publish("image", frame, stamp=1.0)
+    bus.publish("/fcn_object_detector/rects",
+                RectsMsg([(40, 30), (70, 70), (100, 80), (140, 110)],
+                         [0, 0], [0.5, 0.5]), stamp=1.0)
+    bus.spin_once()
+    bus.spin_once()
+    assert len(got) == 1
+    out = got[0].data
+    # the object rect survives as class 1; the background rect's fate
+    # depends only on its class-0 confidence (never labeled object)
+    assert (40, 30) in out.points
+    kept = {out.points[2 * i]: l for i, l in enumerate(out.labels)}
+    assert kept[(40, 30)] == 1
+    assert all(l == 0 for p, l in kept.items() if p == (100, 80))

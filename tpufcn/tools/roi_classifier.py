@@ -17,6 +17,44 @@ import numpy as np
 from tpufcn.tools.features import CnnCodeExtractor
 
 
+class ROIClassifierNode:
+    """Bus node for the reference's (committed-but-disabled) subscribe
+    mode (region_cnn_detector.py:57 + callback :87-110): exact-time
+    sync over (image, rects) topics, re-classify each proposed rect,
+    publish only the proposals the classifier confirms.  Consumes the
+    detector node's ``RectsMsg`` corner-point pairs and republishes the
+    same message shape with classifier labels/probabilities."""
+
+    def __init__(self, bus,
+                 classifier: "ROIClassifier",
+                 image_topic: str = "image",
+                 rects_topic: str = "/fcn_object_detector/rects",
+                 out_topic: str = "/rcnn_detector/rects",
+                 queue_size: int = 10):
+        from tpufcn.serve.bus import TimeSynchronizer
+        self.bus = bus
+        self.classifier = classifier
+        self.out_topic = out_topic
+        TimeSynchronizer(bus, [image_topic, rects_topic], self.callback,
+                         queue_size=queue_size)
+
+    def callback(self, image_msg, rects_msg):
+        from tpufcn.serve.stream import RectsMsg
+        img = np.asarray(image_msg.data)
+        m = rects_msg.data
+        rects = [(x1, y1, x2 - x1, y2 - y1)
+                 for (x1, y1), (x2, y2) in zip(m.points[0::2],
+                                               m.points[1::2])]
+        results = self.classifier(img, rects)
+        pts = [p for rect, _, _ in results
+               for p in ((rect[0], rect[1]),
+                         (rect[0] + rect[2], rect[1] + rect[3]))]
+        self.bus.publish(self.out_topic,
+                         RectsMsg(pts, [l for _, l, _ in results],
+                                  [pr for _, _, pr in results]),
+                         stamp=image_msg.stamp)
+
+
 class ROIClassifier:
     def __init__(self,
                  num_classes: int,
