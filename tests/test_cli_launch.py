@@ -336,3 +336,41 @@ def test_cli_train_joint_model_records_trains_detection_heads(
     finally:
         del recipes.RECIPES["_tiny_joint_rec_recipe"]
         del registry._REGISTRY["_tiny_joint_rec_test"]
+
+
+def test_launch_tool_nodes(tmp_path, rng):
+    """The pseudo-label tool nodes are launchable like the reference's
+    launch files wire its nodes: a boundary-refinement node on the
+    graph tracks a rect across two synced frames."""
+    from tpufcn.data.manifest import read_detection_manifest
+    from tpufcn.serve.launch import launch
+
+    graph = launch({
+        "boundary_refinement": {"type": "boundary_refinement"},
+        "writer": {"type": "capture",
+                   "params": {"out_dir": str(tmp_path / "cap")}},
+    })
+    got = []
+    graph.bus.subscribe("/boundary_refinement/rect", got.append)
+
+    def scene(ox, oy):
+        img = rng.integers(0, 60, (120, 160, 3)).astype(np.uint8)
+        gy, gx = np.mgrid[0:40, 0:30]
+        img[oy:oy + 40, ox:ox + 30] = np.stack(
+            [30 + gx * 4, 200 - gy * 3, (gx + gy) % 7 * 20],
+            axis=-1).clip(0, 255).astype(np.uint8)
+        return img
+
+    for t, (ox, oy) in enumerate([(40, 30), (46, 34)]):
+        graph.bus.publish("/camera/rgb/image_rect_color", scene(ox, oy),
+                          stamp=float(t))
+        graph.bus.publish("/object_rect", [40, 30, 30, 40], stamp=float(t))
+        graph.spin()
+    graph.spin()
+
+    assert len(got) == 1
+    x, y, w, h = got[0].data
+    assert abs(x - 46) <= 3 and abs(y - 34) <= 3
+    # the capture node shared the graph: two frames written
+    assert len(read_detection_manifest(
+        str(tmp_path / "cap" / "train.txt"))) == 2

@@ -120,10 +120,39 @@ def _make_capture(bus: TopicBus, params: Dict[str, Any],
         rect_topic=remap.get("rect", "/object_rect"))
 
 
+def _make_boundary_refinement(bus: TopicBus, params: Dict[str, Any],
+                              remap: Dict[str, str]):
+    from tpufcn.tools.boundary_refinement import (
+        BoundaryRefiner, BoundaryRefinerNode)
+    return BoundaryRefinerNode(
+        bus,
+        refiner=BoundaryRefiner(
+            similarity_thresh=params.get("similarity_distance", 0.5)),
+        image_topic=remap.get("image", "/camera/rgb/image_rect_color"),
+        rect_topic=remap.get("rect", "/object_rect"),
+        out_topic=remap.get("out", "/boundary_refinement/rect"))
+
+
+def _make_roi_classifier(bus: TopicBus, params: Dict[str, Any],
+                         remap: Dict[str, str]):
+    from tpufcn.tools.roi_classifier import ROIClassifier, ROIClassifierNode
+    clf = params.get("classifier")  # pre-built (e.g. fit_head-trained)
+    if clf is None:
+        clf = ROIClassifier(num_classes=int(params.get("num_classes", 2)),
+                            prob_thresh=params.get("prob_thresh", 0.5))
+    return ROIClassifierNode(
+        bus, clf,
+        image_topic=remap.get("image", "image"),
+        rects_topic=remap.get("rects", "/fcn_object_detector/rects"),
+        out_topic=remap.get("out", "/rcnn_detector/rects"))
+
+
 _NODE_TYPES = {
     "detector": _make_detector,
     "point_map": _make_point_map,
     "capture": _make_capture,
+    "boundary_refinement": _make_boundary_refinement,
+    "roi_classifier": _make_roi_classifier,
 }
 
 

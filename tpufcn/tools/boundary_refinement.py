@@ -87,10 +87,19 @@ class BoundaryRefiner:
                  track_fn: Callable = ncc_track,
                  similarity_thresh: float = 0.5,
                  imread=cv.imread):
-        self.extractor = extractor or CnnCodeExtractor()
+        self._extractor = extractor
         self.track_fn = track_fn
         self.similarity_thresh = similarity_thresh
         self.imread = imread
+
+    @property
+    def extractor(self) -> CnnCodeExtractor:
+        # built lazily: the live path (refine_live) never gates by CNN
+        # codes, so constructing the VGG extractor up front would pay a
+        # long compile for nothing
+        if self._extractor is None:
+            self._extractor = CnnCodeExtractor()
+        return self._extractor
 
     def _crop(self, img, rect):
         x, y, w, h = [int(v) for v in rect]
