@@ -90,3 +90,43 @@ def test_tiled_segmenter(rng):
     assert pmap.dtype == np.uint8
     for (x, y, w, h), cls in boxes:
         assert 1 <= cls < 12
+
+
+def test_time_synchronizer_drops_stale_after_match():
+    """ROS exact-time policy: once a tuple fires at stamp t, queued
+    messages with stamp <= t are purged — a late-arriving old message
+    must not complete and fire a STALE tuple after a newer one."""
+    bus = TopicBus()
+    fired = []
+    TimeSynchronizer(bus, ["a", "b"],
+                     lambda ma, mb: fired.append(ma.stamp), queue_size=10)
+    bus.publish("a", "a1", stamp=1.0)
+    bus.publish("a", "a2", stamp=2.0)
+    bus.publish("b", "b2", stamp=2.0)
+    bus.spin_once()
+    assert fired == [2.0]
+    bus.publish("b", "b1", stamp=1.0)   # late: its partner was purged
+    bus.spin_once()
+    assert fired == [2.0]               # no stale t=1 tuple
+    # newer pairs still fire
+    bus.publish("a", "a3", stamp=3.0)
+    bus.publish("b", "b3", stamp=3.0)
+    bus.spin_once()
+    assert fired == [2.0, 3.0]
+
+
+def test_replay_throughput_counts_tail(rng):
+    """A frame count that is not a multiple of micro_batch must process
+    and count every real frame (the tail is padded, not dropped), and
+    n < micro_batch must not report zero."""
+    from tpufcn.serve.detector import Detector
+    from tpufcn.serve.stream import replay_throughput
+
+    det = Detector("googlenet_detectnet_1cls", dtype=jnp.float32,
+                   max_candidates=32)
+    frames = [rng.integers(0, 255, (448, 448, 3)).astype(np.uint8)
+              for _ in range(3)]
+    out = replay_throughput(det, frames, micro_batch=2)
+    assert out["frames"] == 3
+    out_small = replay_throughput(det, frames[:1], micro_batch=2)
+    assert out_small["frames"] == 1

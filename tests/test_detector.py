@@ -129,3 +129,59 @@ def test_vgg_serving_mode_agrees_with_exact(rng):
     assert float(jnp.abs(a - b).mean()) < 0.05
     r = fast(frames)
     assert r.boxes.shape[0] == 1
+
+
+def test_bg_channel_decode_pairs_trained_blocks(rng):
+    """Background-channel families (fcn8s_bbox): the blocks the TRAINING
+    encoder writes (object ids shifted past the background channel,
+    train/step.py label_offset) must be exactly the blocks the detector
+    decodes — grid-encode a GT box, serve the encoded grids verbatim as
+    model outputs, and recover the GT box with its 0-based object id."""
+    import flax.linen as nn
+    import jax
+
+    from tpufcn.models import registry
+    from tpufcn.ops.grid_codec import encode_grid_labels
+
+    grid = GridConfig(64, 64, stride=16, num_classes=3)  # bg + 2 objects
+    rect = np.array([8.0, 8.0, 40.0, 40.0])              # object id 0
+    glabels = encode_grid_labels(
+        jnp.asarray([rect]), jnp.asarray([0 + 1]),       # label_offset=1
+        jnp.asarray([True]), grid)
+    cov = glabels.coverage                               # (4, 4, 3)
+    bbox = glabels.bbox.reshape(4, 4, 12)                # (4, 4, 4C)
+
+    class _Stub(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            b = x.shape[0]
+            return {
+                "coverage": jnp.broadcast_to(cov, (b,) + cov.shape),
+                "bboxes": jnp.broadcast_to(bbox, (b,) + bbox.shape),
+            }
+
+    registry.register("_bg_decode_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.float32, **kw: _Stub(),
+        grid=grid, preprocessing="demean", background_channel=0,
+        heads=("coverage", "bboxes", "seg"),
+        reference="train/fcn_bbox/train_val.prototxt"))
+    try:
+        det = Detector(
+            "_bg_decode_test", dtype=jnp.float32,
+            config=DetectorConfig(grid=grid, detection_threshold=0.5,
+                                  min_boxes=1, nms_eps=0.2,
+                                  model="_bg_decode_test",
+                                  min_box_height=20,
+                                  max_candidates=16))
+        frames = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        dets = det(frames).to_lists()[0]
+    finally:
+        del registry._REGISTRY["_bg_decode_test"]
+
+    assert len(dets) >= 1
+    boxes = {tuple(b) for b, _, _ in dets}
+    labels = {l for _, l, _ in dets}
+    # grid-encoded offsets reproduce the GT corners exactly; the served
+    # label is the 0-based object id (the eval-manifest convention)
+    assert (8, 8, 48, 48) in boxes
+    assert labels == {0}

@@ -25,7 +25,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import numpy as np
 
 
 def _lrn_band(c: int, size: int) -> jnp.ndarray:

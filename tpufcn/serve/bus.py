@@ -118,11 +118,20 @@ class TimeSynchronizer:
                 common = msg.stamp
                 if all(common in self._store[t] for t in self.topics):
                     msgs = [self._store[t].pop(common) for t in self.topics]
+                    # ROS exact-time policy: a fired match also discards
+                    # every OLDER queued message, so a late-arriving old
+                    # message can never complete a stale tuple and fire
+                    # it after a newer one (time would run backwards for
+                    # the consumer)
                     for t in self.topics:
-                        try:
-                            self._order[t].remove(common)
-                        except ValueError:
-                            pass
+                        st, od = self._store[t], self._order[t]
+                        stale = [s for s in od if s <= common]
+                        for s in stale:
+                            try:
+                                od.remove(s)
+                            except ValueError:
+                                pass
+                            st.pop(s, None)
                 else:
                     msgs = None
             if msgs is not None:

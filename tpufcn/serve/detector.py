@@ -139,7 +139,7 @@ class Detector:
                  config: Optional[DetectorConfig] = None,
                  params: Optional[Any] = None,
                  dtype=jnp.bfloat16,
-                 max_candidates: int = 512,
+                 max_candidates: Optional[int] = None,
                  rng_seed: int = 0,
                  model_kwargs: Optional[dict] = None,
                  mesh=None):
@@ -204,12 +204,20 @@ class Detector:
 
         bg = self.spec.background_channel
         if bg is not None:
-            # reference skips the background coverage channel
-            # (fcn_object_detector.py:89 reads [1:]) but indexes bbox
-            # channels by foreground class id * 4 (:106).
+            # Skip the background coverage channel (reference
+            # fcn_object_detector.py:89 reads [1:]) and pair foreground
+            # class k with bbox BLOCK k — the block its training
+            # encoder writes (grid labels are encoded with object ids
+            # shifted past the background channel, train/step.py
+            # label_offset; reference encoder likewise uses one-based
+            # ids, argumentation_engine.py:82).  The reference's
+            # runtime instead pairs sliced index c with block c, i.e.
+            # the never-supervised previous block — inconsistent with
+            # its own training nets (PARITY.md known deviations).
             keep = [c for c in range(grid.num_classes) if c != bg]
             coverage = coverage[..., keep]
-            bboxes = bboxes[..., : 4 * len(keep)]
+            bboxes = bboxes[..., [4 * c + i for c in keep
+                                  for i in range(4)]]
             dec_grid = dataclasses.replace(grid, num_classes=len(keep))
         else:
             dec_grid = grid

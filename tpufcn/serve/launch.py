@@ -60,34 +60,42 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         min_boxes=params.get("min_boxes", 3),
         nms_eps=params.get("nms_eps", 0.2),
         model=model_name,
-        max_candidates=params.get("max_candidates", 256))
+        # None = full grid capacity (every above-threshold cell feeds
+        # NMS, like the reference); set for speed — multiples of 128
+        # engage the fused Pallas NMS kernel on TPU
+        max_candidates=params.get("max_candidates"))
 
     det_params = None
     weights = params.get("pretrained_weights")
+    mode = params.get("mode", "boxes")
     if weights:
         # reference kills the node when model files are missing
         # (fcn_object_detector.py:428-439); same contract here
         import os
         if not os.path.isfile(weights):
             raise FileNotFoundError(f"PROVIDE PRETRAINED MODEL: {weights}")
-        import jax
-        from tpufcn.convert import convert_caffemodel
-        model = build(model_name, dtype=jnp.bfloat16, **mkw)
-        g = spec.grid
-        init = jax.jit(model.init)(
-            jax.random.key(0),
-            jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
-        det_params = convert_caffemodel(init, weights, strict=False)
-
-    detector = Detector(model_name, config=cfg, params=det_params,
-                        max_candidates=cfg.candidate_capacity,
-                        model_kwargs=mkw)
-    mode = params.get("mode", "boxes")
+        if mode != "tiled":   # tiled mode never runs the box model
+            import jax
+            from tpufcn.convert import convert_caffemodel
+            model = build(model_name, dtype=jnp.bfloat16, **mkw)
+            g = spec.grid
+            init = jax.jit(model.init)(
+                jax.random.key(0),
+                jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
+            det_params = convert_caffemodel(init, weights, strict=False)
+    detector = None
     tiled = None
     if mode == "tiled":
+        # tiled mode serves through the segmenter alone — building the
+        # box Detector here would pay a full model init/compile
+        # (30 s-5 min on this host) for an object the node never uses
         tiled = TiledSegmenter(params.get("seg_model", "fcn32s_seg"),
                                prob_thresh=cfg.detection_threshold,
                                stride=params.get("tile_stride", 1))
+    else:
+        detector = Detector(model_name, config=cfg, params=det_params,
+                            max_candidates=cfg.candidate_capacity,
+                            model_kwargs=mkw)
     return DetectorNode(
         bus, detector=detector, mode=mode, tiled=tiled,
         image_topic=remap.get("image", "image"),

@@ -155,7 +155,10 @@ class DetectorNode:
                  timer=None):
         self.bus = bus
         self.mode = mode
-        self.detector = detector or Detector()
+        # tiled mode never touches the box detector — don't pay its
+        # model init/compile just to hold a dead reference
+        self.detector = detector if (detector is not None
+                                     or mode == "tiled") else Detector()
         self.tiled = tiled
         self.rects_topic = rects_topic
         self.pmap_topic = pmap_topic
@@ -221,13 +224,22 @@ def replay_throughput(detector: Detector,
     import time
     n = len(frames)
     stack = np.stack(frames)
+    micro_batch = min(micro_batch, n)
+    # pad the tail to a full micro-batch by repeating the last frame —
+    # one compiled batch shape, every real frame processed and counted
+    # (silently dropping the tail misreported throughput runs whose
+    # length wasn't a multiple of micro_batch)
+    pad = (-n) % micro_batch
+    if pad:
+        stack = np.concatenate([stack, np.repeat(stack[-1:], pad, axis=0)])
     # warm/compile
     _ = np.asarray(detector(stack[:micro_batch]).valid)
     t0 = time.perf_counter()
     results = 0
-    for i in range(0, n - micro_batch + 1, micro_batch):
+    for i in range(0, len(stack), micro_batch):
         res = detector(stack[i:i + micro_batch])
-        results += int(np.asarray(res.valid).shape[0])
+        done = int(np.asarray(res.valid).shape[0])
+        results += min(done, n - i)        # don't count padding frames
     dt = time.perf_counter() - t0
     return {"frames": results, "seconds": dt,
             "fps": results / dt if dt > 0 else 0.0,

@@ -81,10 +81,22 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 
 def make_loss_fn(model, cfg: TrainConfig, with_seg: bool = False,
-                 preprocessing: str = "demean") -> Callable:
+                 preprocessing: str = "demean",
+                 label_offset: int = 0) -> Callable:
     """(params, batch, dropout_rng) -> (total_loss, metrics) — shared by
     the single-step and multi-step jitted steps (preprocessing dispatch,
-    on-device grid-label encoding, DetectNet loss graph)."""
+    on-device grid-label encoding, DetectNet loss graph).
+
+    ``label_offset=1`` for background-channel families (fcn8s_bbox):
+    the pipeline's 0-based object ids shift to 1..C-1 before grid
+    encoding so object j's coverage/bbox supervision lands on channel
+    j+1 / block j+1 — the SAME channel the seg softmax supervises as
+    class j+1 (they share the fuse_pool3 logits) and the same layout
+    the reference's training encoder produces with its one-based
+    manifest labels (argumentation_engine.py:82 ``k = label * 4``).
+    Without the shift the Euclidean coverage loss pushes channel j
+    while the seg loss pushes channel j+1 — conflicting supervision on
+    channel 0 (background) at every object cell."""
     grid = cfg.grid
 
     def loss_fn(params, batch, dropout_rng):
@@ -97,7 +109,8 @@ def make_loss_fn(model, cfg: TrainConfig, with_seg: bool = False,
         out = model.apply(params, img, train=True,
                           rngs={"dropout": dropout_rng})
         glabels = encode_grid_labels_batch(
-            batch["rects"], batch["labels"], batch["valid"], grid)
+            batch["rects"], batch["labels"] + label_offset,
+            batch["valid"], grid)
         seg_labels = batch.get("seg") if with_seg else None
         return detectnet_loss(
             out, glabels,
@@ -113,7 +126,8 @@ def make_train_step(model,
                     cfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
                     with_seg: bool = False,
-                    preprocessing: str = "demean") -> Callable:
+                    preprocessing: str = "demean",
+                    label_offset: int = 0) -> Callable:
     """Build the jitted step: (state, batch) -> (state, metrics).
 
     batch dict:
@@ -127,7 +141,8 @@ def make_train_step(model,
       seg:   (B, H, W) int32 mask (only when with_seg)
     """
     loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
-                           preprocessing=preprocessing)
+                           preprocessing=preprocessing,
+                           label_offset=label_offset)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.dropout_rng)
@@ -156,7 +171,8 @@ def make_multi_train_step(model,
                           cfg: TrainConfig,
                           mesh: Optional[Mesh] = None,
                           with_seg: bool = False,
-                          preprocessing: str = "demean") -> Callable:
+                          preprocessing: str = "demean",
+                          label_offset: int = 0) -> Callable:
     """N train steps per dispatch: (state, stacked_batch) -> (state, metrics).
 
     ``stacked_batch`` leaves have a leading steps axis (N, B, ...); a
@@ -166,7 +182,8 @@ def make_multi_train_step(model,
     Metrics come back stacked (N,) per key.
     """
     loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
-                           preprocessing=preprocessing)
+                           preprocessing=preprocessing,
+                           label_offset=label_offset)
 
     def multi(state: TrainState, stacked_batch):
         def body(st, batch):

@@ -97,18 +97,29 @@ class Trainer:
         self.mesh = mesh
         try:
             from tpufcn.models.registry import get_spec
-            preprocessing = get_spec(cfg.model).preprocessing
+            spec = get_spec(cfg.model)
+            preprocessing = spec.preprocessing
+            bg = spec.background_channel
         except KeyError:
             preprocessing = "demean"
+            bg = None
+        # background-channel families train with object ids shifted past
+        # the background channel (see make_loss_fn label_offset)
+        if bg not in (None, 0):
+            raise ValueError(
+                f"background_channel={bg}: only channel 0 is supported "
+                "as the background (the label-offset convention)")
+        label_offset = 1 if bg is not None else 0
         if self.steps_per_dispatch > 1:
             from tpufcn.train.step import make_multi_train_step
             self.step_fn = make_multi_train_step(
                 self.model, cfg, mesh=mesh, with_seg=with_seg,
-                preprocessing=preprocessing)
+                preprocessing=preprocessing, label_offset=label_offset)
         else:
             self.step_fn = make_train_step(self.model, cfg, mesh=mesh,
                                            with_seg=with_seg,
-                                           preprocessing=preprocessing)
+                                           preprocessing=preprocessing,
+                                           label_offset=label_offset)
         self._shardings = batch_sharding(mesh) if mesh is not None else None
         self.logger = MetricLogger(cfg.log_every, sink=log_sink)
         self.ckpt_dir = os.path.abspath(cfg.snapshot_dir)
