@@ -351,9 +351,67 @@ def test_records_relabel_contiguous_background(tmp_path, rng):
                                  relabel_contiguous=True,
                                  add_background=True)
     assert n == 2
-    remap = json.load(open(prefix + ".labelmap.json"))
-    assert remap == {"2": 1, "7": 2}
+    meta = json.load(open(prefix + ".labelmap.json"))
+    assert meta["map"] == {"2": 1, "7": 2}
+    assert meta["add_background"] is True
     r = RecordReader(prefix)
     stored = sorted(int(l) for i in range(len(r))
                     for l in r.read(i)["labels"])
     assert stored == [1, 2, 2]
+
+    # the train pipeline must NOT hand the stored background shift to
+    # the train step (which applies the model's own label_offset):
+    # yielded labels are 0-based object ids again
+    from tpufcn.core.config import GridConfig
+    from tpufcn.data.pipeline import RecordTrainPipeline
+    pipe = RecordTrainPipeline(prefix, GridConfig(32, 32, stride=8,
+                                                  num_classes=3),
+                               batch_size=2)
+    b = next(iter(pipe))
+    got = sorted(int(l) for l, v in zip(b["labels"].ravel(),
+                                        b["valid"].ravel()) if v)
+    assert got == [0, 1, 1]            # 2,7 -> 0,1 (both samples drawn)
+
+
+def test_mask_manifest_blank_separators_and_snapshot(tmp_path):
+    """The reference reader strides the RAW file — manifests whose odd
+    lines are BLANK separators keep all records; and the label snapshot
+    is written with the reference's one-based ids regardless of
+    background_offset."""
+    p = str(tmp_path / "train.txt")
+    with open(p, "w") as f:
+        f.write("/i0.jpg /m0.jpg 7 1 2 3 4\n")
+        f.write("\n")
+        f.write("/i1.jpg /m1.jpg 9 5 6 7 8\n")
+        f.write("\n")
+    s = read_mask_manifest(p)
+    assert len(s) == 2                  # blanks were halving the dataset
+    snap = str(tmp_path / "labels.txt")
+    read_mask_manifest(p, background_offset=0,
+                       snapshot_label_manifest=snap)
+    assert open(snap).read() == "1 7\n2 9\n"   # 1-based despite offset 0
+    # a blank RECORD line (mis-strided file) fails loudly
+    bad = str(tmp_path / "bad.txt")
+    with open(bad, "w") as f:
+        f.write("\n/i0.jpg /m0.jpg 7 1 2 3 4\n")
+    with pytest.raises(ValueError, match="blank record line"):
+        read_mask_manifest(bad)
+
+
+def test_parallel_pipeline_propagates_worker_errors(tmp_path):
+    """A data error inside a worker process (bad manifest entry) must
+    surface at the CONSUMER with the real traceback, not die silently
+    on the child's stderr while the pool shrinks."""
+    from tpufcn.core.config import DataConfig, GridConfig
+    from tpufcn.data.manifest import MaskSample
+    from tpufcn.data.parallel import ParallelCompositePipeline
+
+    bad = [MaskSample(str(tmp_path / "missing.png"),
+                      str(tmp_path / "missing_mask.png"), 0,
+                      np.array([1, 1, 8, 8], np.int32))]
+    grid = GridConfig(im_width=32, im_height=32, stride=8, num_classes=2)
+    with ParallelCompositePipeline(
+            bad, grid, DataConfig(batch_size=1), workers=1, depth=2,
+            seed=0) as pipe:
+        with pytest.raises(RuntimeError, match="worker failed"):
+            pipe.batch()

@@ -163,3 +163,29 @@ def test_googlenet_train_step_backward():
     }
     state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_with_seg_requires_seg_batch(rng):
+    """with_seg=True over a batch with no 'seg' masks (e.g. record-shard
+    batches) must fail at trace time, not silently train the seg head
+    on nothing."""
+    import pytest
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.models import build
+    from tpufcn.train.step import init_state, make_train_step
+
+    grid = GridConfig(32, 32, stride=8, num_classes=3)
+    cfg = TrainConfig(grid=grid, data=DataConfig(batch_size=1),
+                      model="fcn8s_bbox", optimizer="sgd",
+                      learning_rate=1e-8, max_iter=1)
+    model = build("fcn8s_bbox", num_classes=3)
+    state = init_state(model, cfg, (1, 32, 32, 3), rng_seed=0)
+    step = make_train_step(model, cfg, with_seg=True, label_offset=1)
+    batch = {
+        "image": rng.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8),
+        "rects": np.zeros((1, 2, 4), np.float32),
+        "labels": np.zeros((1, 2), np.int32),
+        "valid": np.zeros((1, 2), bool),
+    }
+    with pytest.raises(ValueError, match="no 'seg' masks"):
+        step(state, batch)

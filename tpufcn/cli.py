@@ -63,16 +63,25 @@ def _cmd_train(args):
         from tpufcn.data.pipeline import RecordTrainPipeline
         pipe = RecordTrainPipeline(args.records, cfg.grid,
                                    batch_size=cfg.data.batch_size)
-    elif args.workers > 0:
-        from tpufcn.data.parallel import ParallelCompositePipeline
-        samples = read_mask_manifest(args.manifest)
-        pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,
-                                         backgrounds=args.backgrounds,
-                                         workers=args.workers)
     else:
-        samples = read_mask_manifest(args.manifest)
-        pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
-                                      backgrounds=args.backgrounds)
+        # per-run label-manifest snapshot (the reference layer writes
+        # snapshots/labels/labels_<ts>.txt each run,
+        # data_argumentation_layer.py:182-188); `eval --labels` replays
+        # it so eval class ids can't drift from the training mapping
+        from tpufcn.data.manifest import snapshot_label_path
+        import os as _os
+        samples = read_mask_manifest(
+            args.manifest,
+            snapshot_label_manifest=snapshot_label_path(
+                _os.path.join(cfg.snapshot_dir, "labels")))
+        if args.workers > 0:
+            from tpufcn.data.parallel import ParallelCompositePipeline
+            pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,
+                                             backgrounds=args.backgrounds,
+                                             workers=args.workers)
+        else:
+            pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
+                                          backgrounds=args.backgrounds)
     if args.cache > 0:
         # device-resident epoch cache: compose/read N batches once,
         # upload once, train epochs from HBM (see DeviceBatchCache)

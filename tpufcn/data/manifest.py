@@ -78,14 +78,30 @@ def read_mask_manifest(path: str,
 
     ``label_map`` (raw manifest label -> final class id) pins the class
     ids to a TRAINING run's mapping (see `read_label_map_snapshot`).
-    Without it labels are densified per manifest — fine for training,
-    but an eval manifest missing some training class would silently
-    shift every id.
+    The snapshot ids are ONE-based (the reference's convention and the
+    seg-class id space — compositor masks store label+1), so when
+    ``label_map`` is given it fully determines the returned ids and
+    ``background_offset`` is NOT applied on top.  Without it labels are
+    densified per manifest — fine for training, but an eval manifest
+    missing some training class would silently shift every id.
     """
-    lines = _lines(path)
+    # stride over the RAW file like the reference reader
+    # (data_argumentation_layer.py read_data_from_textfile2: xrange
+    # step 2 over open().readlines()) — the skipped lines may be blank
+    # separators, and compacting blanks first would silently drop every
+    # second record of such a manifest
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
     raw = []
     for i in range(0, len(lines), line_stride):
         v = lines[i].split()
+        if not v:
+            if all(not ln.strip() for ln in lines[i:]):
+                break   # trailing blank lines at EOF
+            raise ValueError(
+                f"{path}:{i + 1}: blank record line (with "
+                f"line_stride={line_stride} every {line_stride}th line "
+                "must hold an `img mask label x y w h` record)")
         rect = np.array([int(float(x)) for x in v[3:7]], np.int32)
         raw.append((v[0], v[1], int(v[2]), rect))
 
@@ -103,14 +119,17 @@ def read_mask_manifest(path: str,
     inv = inv + background_offset
 
     if snapshot_label_manifest:
-        # reference writes a per-run label manifest snapshot
-        # (data_argumentation_layer.py:182-188)
+        # reference writes a per-run label manifest snapshot with
+        # ONE-based ids regardless of layer variant
+        # (data_argumentation_layer.py:182-188 ``n_label = index + 1``)
+        # — that is the seg-class convention (compositor masks store
+        # label+1), which is exactly what eval needs the map for, so
+        # the snapshot is 1-based independent of background_offset
         os.makedirs(os.path.dirname(snapshot_label_manifest) or ".",
                     exist_ok=True)
         with open(snapshot_label_manifest, "w") as f:
-            for new_id, old in zip(
-                    np.unique(inv), uniq):
-                f.write(f"{int(new_id)} {int(old)}\n")
+            for index, old in enumerate(uniq):
+                f.write(f"{index + 1} {int(old)}\n")
 
     return [MaskSample(p, m, int(l), r)
             for (p, m, _, r), l in zip(raw, inv)]

@@ -37,14 +37,23 @@ def _worker(samples, grid, data_cfg, backgrounds, box_capacity, seed,
     """Build batches forever until ``stop`` is set (runs in a child
     process; imports stay inside so ``spawn`` children never touch jax)."""
     from tpufcn.data.pipeline import CompositeTrainPipeline
-    pipe = CompositeTrainPipeline(samples, grid, data_cfg,
-                                  backgrounds=backgrounds,
-                                  box_capacity=box_capacity, seed=seed)
     try:
+        pipe = CompositeTrainPipeline(samples, grid, data_cfg,
+                                      backgrounds=backgrounds,
+                                      box_capacity=box_capacity, seed=seed)
         while not stop.is_set():
             q.put(pipe.batch(batch_size))
     except (KeyboardInterrupt, EOFError, BrokenPipeError):
         pass
+    except Exception:           # noqa: BLE001 — relayed to the consumer
+        # a data error (unreadable image, bad manifest entry) must reach
+        # the CONSUMER, not die on the child's stderr while the pool
+        # silently shrinks
+        import traceback
+        try:
+            q.put({"__worker_error__": traceback.format_exc()})
+        except Exception:
+            pass
 
 
 class ParallelCompositePipeline:
@@ -88,13 +97,19 @@ class ParallelCompositePipeline:
         import queue as _q
         while True:
             try:
-                return self._queue.get(timeout=5.0)
+                item = self._queue.get(timeout=5.0)
             except _q.Empty:
                 if not any(p.is_alive() for p in self._procs):
                     raise RuntimeError(
                         "all scene-builder workers exited; with "
                         "start_method='spawn' the parent __main__ must be "
                         "importable (a real script or pytest, not stdin)")
+                continue
+            if isinstance(item, dict) and "__worker_error__" in item:
+                raise RuntimeError(
+                    "scene-builder worker failed:\n"
+                    + item["__worker_error__"])
+            return item
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:

@@ -142,6 +142,21 @@ class RecordTrainPipeline:
         self.batch_size = batch_size
         self.box_capacity = box_capacity
         self.rng = np.random.default_rng(seed)
+        # shards written with `records --background` store 1-based ids
+        # (the labelmap sidecar records the shift); the pipeline yields
+        # 0-based OBJECT ids — the train step applies any background
+        # shift itself per the model's head contract (label_offset), so
+        # stored-shifted labels must be un-shifted here or they'd be
+        # shifted twice
+        self._label_base = 0
+        import json
+        import os
+        sidecar = prefix + ".labelmap.json"
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                meta = json.load(f)
+            if isinstance(meta, dict) and meta.get("add_background"):
+                self._label_base = 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         H, W = self.grid.im_height, self.grid.im_width
@@ -164,7 +179,8 @@ class RecordTrainPipeline:
                 r = r * np.array([sx, sy, sx, sy], np.float32)
                 images[i] = cv.resize(img, (W, H))
                 rects[i], labels[i], valid[i] = pad_boxes(
-                    r, rec["labels"], self.box_capacity)
+                    r, rec["labels"] - self._label_base,
+                    self.box_capacity)
             yield {"image": images, "rects": rects, "labels": labels,
                    "valid": valid}
 

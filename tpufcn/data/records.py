@@ -284,7 +284,13 @@ def create_detection_records(manifest_samples, out_prefix: str,
         import os
         os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
         with open(out_prefix + ".labelmap.json", "w") as f:
-            json.dump({str(k): v for k, v in remap.items()}, f)
+            # add_background is recorded so readers (RecordTrainPipeline)
+            # can restore 0-based object ids — the train step applies
+            # the background shift itself per the model's head contract
+            # (train/step.py label_offset); stored-shifted labels must
+            # not be shifted twice
+            json.dump({"map": {str(k): v for k, v in remap.items()},
+                       "add_background": bool(add_background)}, f)
 
     def _labels(ls):
         if remap is None:

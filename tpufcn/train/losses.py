@@ -92,6 +92,14 @@ def detectnet_loss(outputs: Dict[str, jax.Array],
         s = seg_loss(outputs["seg"], seg_labels, seg_normalize)
         total = total + seg_weight * s
         metrics["loss_seg"] = s
+        # take_along_axis CLAMPS out-of-range labels to the last class
+        # inside jit (a num_classes mis-set trains wrong supervision
+        # with a finite, falling loss) — surface the count so the
+        # misconfiguration is visible in the step metrics
+        C = outputs["seg"].shape[-1]
+        lab = seg_labels.astype(jnp.int32)
+        metrics["seg_invalid_px"] = jnp.sum(
+            (lab < 0) | (lab >= C)).astype(jnp.float32)
 
     if not metrics:
         # trace-time check: a seg-only model with with_seg=False would

@@ -111,6 +111,14 @@ def make_loss_fn(model, cfg: TrainConfig, with_seg: bool = False,
         glabels = encode_grid_labels_batch(
             batch["rects"], batch["labels"] + label_offset,
             batch["valid"], grid)
+        if with_seg and "seg" not in batch:
+            # fail at trace time: silently training a seg head on
+            # nothing (e.g. record-shard batches, which carry no masks)
+            # is the degradation class the loss-term guard exists for
+            raise ValueError(
+                "with_seg=True but the batch carries no 'seg' masks — "
+                "use a mask-manifest pipeline, or train with "
+                "with_seg=False (detection heads only)")
         seg_labels = batch.get("seg") if with_seg else None
         return detectnet_loss(
             out, glabels,

@@ -62,11 +62,15 @@ class MetricLogger:
             self._step0 = step - 1   # steps completed before this session
         # smoothed loss over the last avg_window ITERATIONS (Caffe
         # solver average_loss semantics), appended every step — the
-        # early return below only gates printing
-        self.window.append(float(metrics["loss_total"]))
+        # early return below only gates printing.  The device scalar is
+        # held UNCONVERTED until a print boundary: float() here would
+        # block on the dispatched step every iteration, serializing
+        # dispatches (each sync pays the ~40 ms tunnel RTT — CLAUDE.md)
+        self.window.append(metrics["loss_total"])
         self.window = self.window[-self.avg_window:]
         if step % self.log_every:
             return
+        self.window = [float(v) for v in self.window]
         vals = {k: float(v) for k, v in metrics.items()}
         dt = time.perf_counter() - self._t0
         ips = self._imgs / dt if dt > 0 else 0.0
@@ -169,13 +173,17 @@ class Trainer:
         for k, v in batch.items():
             if k == "seg" and not self.with_seg:
                 continue
-            arr = jnp.asarray(v)
             if self._shardings is not None:
                 sh = self._shardings[k]
                 if stacked:
                     sh = NamedSharding(sh.mesh, P(None, *sh.spec))
-                arr = jax.device_put(arr, sh)
-            out[k] = arr
+                # device_put straight from the source array: a
+                # jnp.asarray first would commit the batch to the
+                # default device and pay a SECOND transfer for the
+                # resharding
+                out[k] = jax.device_put(v, sh)
+            else:
+                out[k] = jnp.asarray(v)
         return out
 
     def fit(self, batches: Iterator[Dict[str, np.ndarray]],
@@ -199,8 +207,20 @@ class Trainer:
                 f"{start + -(-(max_iter - start) // n_multi) * n_multi}")
         pending = []
         last_snap = start
-        for batch in batches:
-            if int(state.step) >= max_iter:
+        # host-side step counter: the loop/log/snapshot checks must not
+        # read state.step (a device scalar) — int() on it blocks until
+        # the dispatched step finishes, serializing dispatches through
+        # the ~40 ms-RTT tunnel.  The jitted step advances by exactly 1
+        # (or n_multi) per dispatch, so the host count stays in lockstep.
+        step = start
+        it = iter(batches)
+        while step < max_iter:
+            # check BEFORE drawing: the old for-loop built one surplus
+            # batch (a full imread+compositing round) after the final
+            # step just to discard it
+            try:
+                batch = next(it)
+            except StopIteration:
                 break
             prestacked = getattr(batch["image"], "ndim", 0) == 5
             if prestacked and batch["image"].shape[0] != n_multi:
@@ -224,9 +244,10 @@ class Trainer:
                     pending = []
                     b = self.put(stacked)
                 state, metrics = self.step_fn(state, b)
+                step += n_multi
                 # metrics come back stacked (N,); log the last step
                 last = {k: v[-1] for k, v in metrics.items()}
-                self.logger.update(int(state.step), last, bs * n_multi)
+                self.logger.update(step, last, bs * n_multi)
             else:
                 if prestacked:
                     # one-batch cache: unstack the leading length-1 axis
@@ -235,22 +256,23 @@ class Trainer:
                     b = self.put(batch)
                 bs = b["image"].shape[0]
                 state, metrics = self.step_fn(state, b)
-                self.logger.update(int(state.step), metrics, bs)
+                step += 1
+                self.logger.update(step, metrics, bs)
             # Snapshot whenever a cadence boundary was CROSSED since the
             # last snapshot — with steps_per_dispatch > 1 the step counter
             # advances by N at a time and may never land exactly on a
             # multiple of snapshot_every.
             if (cfg.snapshot_every and
-                    int(state.step) // cfg.snapshot_every
+                    step // cfg.snapshot_every
                     > last_snap // cfg.snapshot_every):
                 self.save(state)
-                last_snap = int(state.step)
+                last_snap = step
         if pending:
             self.logger.sink(
                 f"note: {len(pending)} trailing batch(es) smaller than a "
                 f"{n_multi}-step dispatch were not trained (source "
                 "exhausted mid-dispatch)")
-        if int(state.step) > start:
+        if step > start:
             self.save(state)
         return state
 
