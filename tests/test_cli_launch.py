@@ -56,6 +56,40 @@ def test_launch_missing_weights_fails():
                                  "pretrained_weights": "/no/such.caffemodel"}}})
 
 
+def test_launch_detector_orbax_weights(tmp_path):
+    """Launch-graph detector nodes load a Trainer orbax snapshot DIR as
+    pretrained_weights — this framework's native training output —
+    alongside the reference's .caffemodel launch convention
+    (launch/fcn_object_detector.launch:8)."""
+    import jax
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.train.trainer import Trainer
+
+    snap = str(tmp_path / "snap")
+    cfg = TrainConfig(grid=GridConfig(64, 64, stride=8, num_classes=11),
+                      data=DataConfig(batch_size=1),
+                      model="vgg_detectnet_train", optimizer="adam",
+                      learning_rate=1e-4, max_iter=1, snapshot_every=0,
+                      snapshot_dir=snap)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    trainer.save(state)
+
+    graph = launch({"d": {"type": "detector",
+                          "params": {"model": "vgg_detectnet_train",
+                                     "pretrained_weights": snap}}})
+    got = jax.tree_util.tree_leaves(graph.nodes["d"].detector.params)
+    want = jax.tree_util.tree_leaves(state.params)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # an empty directory is still fatal (missing-model contract)
+    with pytest.raises(FileNotFoundError):
+        launch({"d": {"type": "detector",
+                      "params": {"model": "vgg_detectnet_train",
+                                 "pretrained_weights": str(tmp_path)}}})
+
+
 def test_cli_detect_inprocess(tmp_path, rng, capsys):
     img = rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
     p = str(tmp_path / "frame.png")

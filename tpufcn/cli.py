@@ -296,7 +296,16 @@ def _cmd_replay(args):
     if args.micro_batch > 0:
         from tpufcn.serve.detector import Detector
         from tpufcn.serve.stream import replay_throughput
-        det = Detector(args.model)
+        if args.weights:
+            # same weight formats as the launch graph: orbax snapshot
+            # dir or .caffemodel file
+            from tpufcn.serve.bus import TopicBus
+            from tpufcn.serve.launch import _make_detector
+            det = _make_detector(TopicBus(), {
+                "model": args.model,
+                "pretrained_weights": args.weights}, {}).detector
+        else:
+            det = Detector(args.model)
         stats = replay_throughput(det, frames,
                                   micro_batch=min(args.micro_batch,
                                                   len(frames)))

@@ -168,7 +168,12 @@ class Detector:
             # Pallas groupRectangles kernel, which has no GSPMD
             # partitioning rule and therefore must stay per-shard).
             # Batch size must be a multiple of the data-axis size.
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map
+                rep_off = {"check_vma": False}   # jax >= 0.8 spelling
+            except ImportError:  # pre-0.8 jax
+                from jax.experimental.shard_map import shard_map
+                rep_off = {"check_rep": False}
             from jax.sharding import NamedSharding, PartitionSpec as P
             from tpufcn.core.mesh import DATA_AXIS
             extra = {a: n for a, n in mesh.shape.items()
@@ -182,7 +187,7 @@ class Detector:
             sharded = shard_map(
                 self._infer_impl, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS), check_rep=False)
+                out_specs=P(DATA_AXIS), **rep_off)
             self._infer = jax.jit(sharded)
             self._frames_sharding = NamedSharding(mesh, P(DATA_AXIS))
 

@@ -70,19 +70,26 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
     mode = params.get("mode", "boxes")
     if weights:
         # reference kills the node when model files are missing
-        # (fcn_object_detector.py:428-439); same contract here
+        # (fcn_object_detector.py:428-439); same contract here.  Both
+        # weight formats load: a .caffemodel file (the reference's
+        # launch convention) or a Trainer orbax snapshot DIRECTORY
+        # (this framework's native training output).
         import os
-        if not os.path.isfile(weights):
+        if not os.path.isfile(weights) and not os.path.isdir(weights):
             raise FileNotFoundError(f"PROVIDE PRETRAINED MODEL: {weights}")
         if mode != "tiled":   # tiled mode never runs the box model
-            import jax
-            from tpufcn.convert import convert_caffemodel
-            model = build(model_name, dtype=jnp.bfloat16, **mkw)
-            g = spec.grid
-            init = jax.jit(model.init)(
-                jax.random.key(0),
-                jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
-            det_params = convert_caffemodel(init, weights, strict=False)
+            if os.path.isdir(weights):
+                from tpufcn.train.trainer import load_snapshot_params
+                det_params = load_snapshot_params(weights)
+            else:
+                import jax
+                from tpufcn.convert import convert_caffemodel
+                model = build(model_name, dtype=jnp.bfloat16, **mkw)
+                g = spec.grid
+                init = jax.jit(model.init)(
+                    jax.random.key(0),
+                    jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
+                det_params = convert_caffemodel(init, weights, strict=False)
     detector = None
     tiled = None
     if mode == "tiled":

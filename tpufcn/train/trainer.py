@@ -36,7 +36,20 @@ def load_snapshot_params(snapshot_dir: str, step: Optional[int] = None):
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints in {snapshot_dir}")
-    restored = mgr.restore(step)
+    # restore DEVICE-AGNOSTICALLY (host numpy, then put on the current
+    # default device): a target-less restore replays the snapshot's
+    # saved sharding metadata, which fails outright when it was written
+    # on different hardware (train on TPU -> serve/eval on a CPU host)
+    path = os.path.join(os.path.abspath(snapshot_dir), str(step), "default")
+    ck = ocp.PyTreeCheckpointer()
+    tmeta = ck.metadata(path).item_metadata
+    leaves, treedef = jax.tree_util.tree_flatten(
+        getattr(tmeta, "tree", tmeta))
+    restore_args = jax.tree_util.tree_unflatten(
+        treedef,
+        [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves))
+    restored = ck.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     return jax.tree_util.tree_map(jnp.asarray, restored["params"])
 
 
