@@ -117,6 +117,42 @@ def test_cli_replay(tmp_path, rng, capsys):
     assert len(lines) == 4 and all("detections" in l for l in lines[:-1])
 
 
+def test_cli_refine_and_rank(tmp_path, rng, capsys):
+    """`refine`/`rank` = the pseudo-label tool scripts
+    (boundary_refinement.py offline walk, rank_object_models.py
+    train2.txt writer) as CLI subcommands over a detection manifest."""
+    lines = []
+    for i in range(4):
+        img = rng.integers(0, 60, (120, 160, 3)).astype(np.uint8)
+        gy, gx = np.mgrid[0:40, 0:30]
+        patch = np.stack([30 + gx * 4, 200 - gy * 3,
+                          120 + ((gx + gy) % 7) * 10],
+                         axis=-1).clip(0, 255).astype(np.uint8)
+        img[30 + 2 * i:70 + 2 * i, 40 + 4 * i:70 + 4 * i] = patch
+        p = str(tmp_path / f"f{i}.png")
+        cv.imwrite(p, img)
+        lines.append(f"{p} 38 28 34 44 1")
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    from tpufcn.cli import main
+    main(["refine", "--manifest", man, "--input-size", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["refined"] == 4
+    # default out path: next to the manifest (reference convention)
+    assert rec["out"] == str(tmp_path / "train_refined.txt")
+    from tpufcn.data.manifest import read_detection_manifest
+    assert len(read_detection_manifest(rec["out"])) == 4
+
+    main(["rank", "--manifest", man, "--input-size", "64",
+          "--metric", "chi_square"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["out"] == str(tmp_path / "train2.txt")
+    assert 1 <= rec["kept"] <= rec["total"] == 4
+    assert len(read_detection_manifest(rec["out"])) == rec["kept"]
+
+
 def test_cli_records_and_voc(tmp_path, rng):
     img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
     ip = str(tmp_path / "a.png")

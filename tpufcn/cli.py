@@ -8,6 +8,10 @@ Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
   voc       Pascal VOC -> manifests (scripts/voc analog)
   replay    stream frame files through the detector node graph
             (roslaunch + `rosbag play` analog)
+  refine    offline boundary-refinement walk over a manifest
+            (boundary_refinement.py analog)
+  rank      proposal ranking / outlier rejection -> train2.txt
+            (rank_object_models.py analog)
   bench     the headline throughput benchmark
   pointmap  build the C++ point-map library
 
@@ -331,6 +335,55 @@ def _cmd_replay(args):
     print(json.dumps({"frames_processed": n}))
 
 
+def _tool_extractor(args):
+    """CNN-code extractor for the pseudo-label tools: trained VGG16
+    weights from a .caffemodel when given (the reference tools load a
+    .caffemodel for their fc7 codes, boundary_refinement.py:374-383),
+    else random-init (the extractor itself warns that gating will be
+    weak)."""
+    from tpufcn.tools.features import CnnCodeExtractor
+    if args.extractor_weights:
+        return CnnCodeExtractor.from_caffemodel(
+            args.extractor_weights, input_size=args.input_size)
+    return CnnCodeExtractor(input_size=args.input_size)
+
+
+def _cmd_refine(args):
+    """Offline boundary-refinement walk over a detection manifest
+    (reference boundary_refinement.py:77-157): track each frame's box
+    from the previous frame, keep the tracked box when its CNN code
+    stays similar, write the refined manifest."""
+    import os
+    from tpufcn.data.manifest import read_detection_manifest
+    from tpufcn.tools.boundary_refinement import BoundaryRefiner
+    samples = read_detection_manifest(args.manifest)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(args.manifest)),
+        "train_refined.txt")
+    refiner = BoundaryRefiner(extractor=_tool_extractor(args),
+                              similarity_thresh=args.threshold)
+    n = refiner.refine_manifest(samples, out)
+    print(json.dumps({"refined": n, "out": out}))
+
+
+def _cmd_rank(args):
+    """Proposal ranking / outlier rejection over a detection manifest
+    (reference rank_object_models.py): cluster the crops' CNN codes,
+    walk the sequence with template/previous similarity gating, write
+    the kept lines (the reference's train2.txt convention)."""
+    import os
+    from tpufcn.data.manifest import read_detection_manifest
+    from tpufcn.tools.rank_proposals import RankObjectProposals
+    samples = read_detection_manifest(args.manifest)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(args.manifest)), "train2.txt")
+    ranker = RankObjectProposals(extractor=_tool_extractor(args),
+                                 distance_thresh=args.threshold,
+                                 metric=args.metric)
+    n = ranker.write_filtered(samples, out)
+    print(json.dumps({"kept": n, "total": len(samples), "out": out}))
+
+
 def _cmd_bench(args):
     import runpy
     runpy.run_path("bench.py", run_name="__main__")
@@ -426,6 +479,31 @@ def main(argv=None):
                     help="> 0: batched throughput mode instead of "
                          "per-frame bus replay")
     rp.set_defaults(fn=_cmd_replay)
+
+    def _tool_args(sp, default_thresh):
+        sp.add_argument("--manifest", required=True)
+        sp.add_argument("--out", default=None,
+                        help="output manifest (default: next to the "
+                             "input, the reference's convention)")
+        sp.add_argument("--threshold", type=float, default=default_thresh)
+        sp.add_argument("--extractor-weights", default=None,
+                        help="VGG16 .caffemodel for the CNN-code "
+                             "extractor (random init otherwise)")
+        sp.add_argument("--input-size", type=int, default=224)
+
+    rf = sub.add_parser("refine",
+                        help="offline boundary-refinement walk "
+                             "(boundary_refinement.py analog)")
+    _tool_args(rf, 0.5)
+    rf.set_defaults(fn=_cmd_refine)
+
+    rk = sub.add_parser("rank",
+                        help="proposal ranking / outlier rejection "
+                             "(rank_object_models.py analog)")
+    _tool_args(rk, 0.5)
+    rk.add_argument("--metric", choices=("bhattacharyya", "chi_square"),
+                    default="bhattacharyya")
+    rk.set_defaults(fn=_cmd_rank)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=_cmd_bench)

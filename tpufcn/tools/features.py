@@ -51,6 +51,21 @@ class CnnCodeExtractor:
 
         self._codes = _codes
 
+    @classmethod
+    def from_caffemodel(cls, path: str, input_size: int = 224,
+                        dtype=jnp.bfloat16) -> "CnnCodeExtractor":
+        """Build the extractor from a VGG16 ``.caffemodel`` — the
+        trained-weights path the reference tools use (they load a
+        CaffeNet/VGG ``.caffemodel`` for fc7 codes,
+        boundary_refinement.py:374-383).  Layers present in the file
+        are converted by name; heads the backbone lacks are ignored."""
+        from tpufcn.convert import convert_caffemodel
+        backbone = VGG16Backbone(dtype=dtype)
+        x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        init = jax.jit(backbone.init)(jax.random.key(0), x0)
+        params = convert_caffemodel(init, path, strict=False)
+        return cls(input_size=input_size, dtype=dtype, params=params)
+
     def __call__(self, crops_bgr: Sequence[np.ndarray]) -> np.ndarray:
         """(N crops, any sizes) -> (N, 512) L2-normalized codes.
 
