@@ -82,6 +82,34 @@ def test_detector_node_replay(rng):
     assert len(outs) == 3      # rects published per frame (possibly empty)
 
 
+def test_detector_node_overlay_names(rng):
+    """overlay_topic publishes the reference's class-colored alpha-blend
+    (fcn_object_detector.py:141-170) with manifest names; the reference
+    imshows it, tpufcn publishes the rendered frame (GUI-less)."""
+    class _Res:
+        def to_lists(self):
+            return [[([10, 10, 60, 60], 1, 0.9)]]
+
+    class _Stub:
+        def __call__(self, frames):
+            return _Res()
+
+    bus = TopicBus()
+    node = DetectorNode(bus, detector=_Stub(), names=["bg", "bottle"],
+                        overlay_topic="/fcn_object_detector/detection")
+    frame = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+    outs = []
+    bus.subscribe("/fcn_object_detector/detection",
+                  lambda m: outs.append(m.data), queue_size=4)
+    n = replay(node, [frame])
+    bus.spin_once()
+    assert n == 1 and len(outs) == 1
+    ov = outs[0]
+    assert ov.shape == frame.shape and ov.dtype == np.uint8
+    assert not np.array_equal(ov, frame)          # overlay drawn
+    assert node.names[1] == "bottle"
+
+
 def test_tiled_segmenter(rng):
     seg = TiledSegmenter("fcn32s_seg", dtype=jnp.float32, stride=1)
     frame = rng.integers(0, 256, (256, 320, 3)).astype(np.uint8)

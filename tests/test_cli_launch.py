@@ -75,9 +75,17 @@ def test_launch_detector_orbax_weights(tmp_path):
     state = trainer.init_state()
     trainer.save(state)
 
+    man = str(tmp_path / "labels.txt")
+    with open(man, "w") as f:
+        f.write("0 _ background\n1 _ bottle\n")
     graph = launch({"d": {"type": "detector",
                           "params": {"model": "vgg_detectnet_train",
-                                     "pretrained_weights": snap}}})
+                                     "pretrained_weights": snap,
+                                     "manifest": man,
+                                     "overlay_topic": "/d/detection"}}})
+    # reference ~manifest rosparam: class display names + overlay wiring
+    assert graph.nodes["d"].names == ["background", "bottle"]
+    assert graph.nodes["d"].overlay_topic == "/d/detection"
     got = jax.tree_util.tree_leaves(graph.nodes["d"].detector.params)
     want = jax.tree_util.tree_leaves(state.params)
     assert len(got) == len(want)

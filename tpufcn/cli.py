@@ -115,7 +115,9 @@ def _cmd_detect(args):
         "min_boxes": args.min_boxes,
         "nms_eps": args.nms_eps,
         "pretrained_weights": args.weights,
+        "manifest": args.manifest,
     }, {})
+    names = node.names or []
     for path in args.images:
         img = cv.imread(path)
         if img is None:
@@ -125,6 +127,8 @@ def _cmd_detect(args):
         dets = res.to_lists()[0]
         print(json.dumps({"image": path, "detections": [
             {"box": [int(v) for v in box], "label": label,
+             "name": (names[label] if label < len(names)
+                      else f"object_{label}"),
              "confidence": conf}
             for box, label, conf in dets]}))
 
@@ -423,6 +427,10 @@ def main(argv=None):
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("--min-boxes", type=int, default=3)
     d.add_argument("--nms-eps", type=float, default=0.2)
+    d.add_argument("--manifest", default=None,
+                   help="label manifest ('idx name' / 'idx _ name' "
+                        "lines) naming classes in the output, the "
+                        "reference's ~manifest rosparam")
     d.set_defaults(fn=_cmd_detect)
 
     c = sub.add_parser("convert")

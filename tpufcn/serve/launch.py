@@ -103,8 +103,26 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         detector = Detector(model_name, config=cfg, params=det_params,
                             max_candidates=cfg.candidate_capacity,
                             model_kwargs=mkw)
+    # label manifest -> class display names (reference rosparam
+    # ~manifest, fcn_object_detector.launch:8).  The reference silently
+    # falls back to generated names when the file is absent
+    # (load_label_manifest, fcn_object_detector.py:443) — same here.
+    names = None
+    manifest = params.get("manifest")
+    if manifest:
+        import os
+        if os.path.isfile(manifest):
+            from tpufcn.data.manifest import read_label_names
+            names = read_label_names(manifest)
+        else:
+            import logging
+            logging.getLogger(__name__).warning(
+                "label manifest %s not found; using object_<i> names",
+                manifest)
     return DetectorNode(
         bus, detector=detector, mode=mode, tiled=tiled,
+        names=names,
+        overlay_topic=params.get("overlay_topic"),
         image_topic=remap.get("image", "image"),
         rects_topic=remap.get("rects", "/fcn_object_detector/rects"),
         pmap_topic=remap.get("pmap", "/fcn_object_detector/pmap"))

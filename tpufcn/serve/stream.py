@@ -152,9 +152,21 @@ class DetectorNode:
                  pmap_topic: str = "/fcn_object_detector/pmap",
                  tiled: Optional[TiledSegmenter] = None,
                  publish_rects: bool = True,
+                 names: Optional[Sequence[str]] = None,
+                 overlay_topic: Optional[str] = None,
                  timer=None):
+        # names: per-class display names from a label manifest
+        # (reference rosparam ~manifest -> load_label_manifest,
+        # fcn_object_detector.py:44-45,441-461; absent classes fall back
+        # to "object_<i>" like the reference).  overlay_topic: publish
+        # the reference's class-colored alpha-blended overlay
+        # (fcn_object_detector.py:141-170) — the reference cv.imshows it;
+        # tpufcn publishes the rendered frame on the bus instead
+        # (GUI-less, PARITY.md deviation conventions).
         self.bus = bus
         self.mode = mode
+        self.names = list(names) if names else None
+        self.overlay_topic = overlay_topic
         # tiled mode never touches the box detector — don't pay its
         # model init/compile just to hold a dead reference
         self.detector = detector if (detector is not None
@@ -199,6 +211,11 @@ class DetectorNode:
             if self.publish_rects:
                 self.bus.publish(self.rects_topic,
                                  RectsMsg(pts, labels, confs),
+                                 stamp=msg.stamp)
+            if self.overlay_topic:
+                from tpufcn.serve.viz import draw_detections
+                self.bus.publish(self.overlay_topic,
+                                 draw_detections(frame, dets, self.names),
                                  stamp=msg.stamp)
         self.processed += 1
 
