@@ -125,6 +125,52 @@ def test_cli_replay(tmp_path, rng, capsys):
     assert len(lines) == 4 and all("detections" in l for l in lines[:-1])
 
 
+def test_cli_launch_graph(tmp_path, rng, capsys):
+    """`launch` = the roslaunch analog: a JSON node-graph spec (the
+    launch-file equivalent, examples/*.launch.json) built and driven
+    from the CLI."""
+    spec = {"fcn_object_detector": {
+        "type": "detector",
+        "params": {"model": "googlenet_detectnet_1cls"},
+        "remap": {"image": "image"}}}
+    gpath = str(tmp_path / "graph.launch.json")
+    with open(gpath, "w") as f:
+        json.dump(spec, f)
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 256, (448, 448, 3)).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        cv.imwrite(p, img)
+        paths.append(p)
+    from tpufcn.cli import main
+    main(["launch", gpath, "--frames", *paths])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["frames_published"] == 2
+    assert rec["nodes"] == ["fcn_object_detector"]
+    assert rec["processed"]["fcn_object_detector"] == 2
+
+
+def test_example_launch_specs_are_valid():
+    """The shipped examples/*.launch.json mirror the reference's two
+    launch files; every node type must resolve and the point-map remap
+    must carry the reference topic names (fcn_point_map.launch:3-19)."""
+    import glob
+    import os
+    from tpufcn.serve.launch import _NODE_TYPES
+    specs = glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "examples", "*.launch.json"))
+    assert len(specs) >= 2
+    seen = {}
+    for path in specs:
+        with open(path) as f:
+            graph = json.load(f)
+        for name, node in graph.items():
+            assert node["type"] in _NODE_TYPES, (path, name)
+            seen[name] = node
+    assert (seen["fcn_point_map"]["remap"]["cloud"]
+            == "/camera/depth_registered/points")
+
+
 def test_cli_refine_and_rank(tmp_path, rng, capsys):
     """`refine`/`rank` = the pseudo-label tool scripts
     (boundary_refinement.py offline walk, rank_object_models.py

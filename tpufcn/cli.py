@@ -8,6 +8,8 @@ Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
   voc       Pascal VOC -> manifests (scripts/voc analog)
   replay    stream frame files through the detector node graph
             (roslaunch + `rosbag play` analog)
+  launch    build a node graph from a JSON launch spec
+            (roslaunch <file>.launch analog)
   refine    offline boundary-refinement walk over a manifest
             (boundary_refinement.py analog)
   rank      proposal ranking / outlier rejection -> train2.txt
@@ -339,6 +341,37 @@ def _cmd_replay(args):
     print(json.dumps({"frames_processed": n}))
 
 
+def _cmd_launch(args):
+    """The roslaunch analog: build a node graph from a JSON spec (the
+    launch-file equivalent — node types/params/remaps, see
+    tpufcn/serve/launch.py and examples/*.launch.json) and optionally
+    stream image frames through it."""
+    import cv2 as cv
+    from tpufcn.serve.launch import launch
+
+    with open(args.graph) as f:
+        spec = json.load(f)
+    graph = launch(spec)
+    published = 0
+    if args.frames:
+        for i, path in enumerate(args.frames):
+            img = cv.imread(path)
+            if img is None:
+                print(f"{path}: unreadable", file=sys.stderr)
+                continue
+            graph.bus.publish(args.topic, img, stamp=float(i))
+            graph.spin()
+            published += 1
+    else:
+        graph.spin(args.spin)
+    print(json.dumps({
+        "nodes": sorted(graph.nodes),
+        "frames_published": published,
+        "processed": {name: getattr(node, "processed",
+                                    getattr(node, "counter", None))
+                      for name, node in graph.nodes.items()}}))
+
+
 def _tool_extractor(args):
     """CNN-code extractor for the pseudo-label tools: trained VGG16
     weights from a .caffemodel when given (the reference tools load a
@@ -498,6 +531,20 @@ def main(argv=None):
                         help="VGG16 .caffemodel for the CNN-code "
                              "extractor (random init otherwise)")
         sp.add_argument("--input-size", type=int, default=224)
+
+    ln = sub.add_parser("launch",
+                        help="build a node graph from a JSON launch "
+                             "spec and stream frames through it "
+                             "(roslaunch analog)")
+    ln.add_argument("graph", help="JSON launch spec "
+                                  "(see examples/*.launch.json)")
+    ln.add_argument("--frames", nargs="*", default=None,
+                    help="image files to publish through the graph")
+    ln.add_argument("--topic", default="image",
+                    help="topic the frames are published on")
+    ln.add_argument("--spin", type=int, default=1,
+                    help="bus spins when no frames are given")
+    ln.set_defaults(fn=_cmd_launch)
 
     rf = sub.add_parser("refine",
                         help="offline boundary-refinement walk "
