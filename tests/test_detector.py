@@ -185,3 +185,34 @@ def test_bg_channel_decode_pairs_trained_blocks(rng):
     # label is the 0-based object id (the eval-manifest convention)
     assert (8, 8, 48, 48) in boxes
     assert labels == {0}
+
+
+def test_export_roundtrip(rng):
+    """AOT serving artifact: the serialized StableHLO pipeline must
+    reproduce the live Detector bit-for-bit (weights stay outside the
+    artifact, so a snapshot refresh needs no re-export)."""
+    import pytest
+    from tpufcn.serve.export import export_detector, load_exported
+    det = Detector("googlenet_detectnet_1cls", dtype=jnp.float32,
+                   max_candidates=32)
+    art = export_detector(det, batch_size=1)
+    assert isinstance(art, bytes) and len(art) > 1000
+    fn = load_exported(art)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(1, 448, 448, 3)).astype(np.uint8))
+    live = det(frames)
+    aot = fn(det.params, frames)
+    np.testing.assert_array_equal(np.asarray(live.boxes),
+                                  np.asarray(aot.boxes))
+    np.testing.assert_array_equal(np.asarray(live.valid),
+                                  np.asarray(aot.valid))
+    np.testing.assert_allclose(np.asarray(live.confidence),
+                               np.asarray(aot.confidence))
+    # mesh-sharded detectors capture per-shard semantics; export refuses
+    from tpufcn.core.config import MeshConfig
+    from tpufcn.core.mesh import make_mesh
+    det_m = Detector.__new__(Detector)
+    det_m.mesh = object()
+    det_m.grid = det.grid
+    with pytest.raises(ValueError):
+        export_detector(det_m, batch_size=1)

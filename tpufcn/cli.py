@@ -10,6 +10,7 @@ Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
             (roslaunch + `rosbag play` analog)
   launch    build a node graph from a JSON launch spec
             (roslaunch <file>.launch analog)
+  export    AOT StableHLO artifact of the serving pipeline
   refine    offline boundary-refinement walk over a manifest
             (boundary_refinement.py analog)
   rank      proposal ranking / outlier rejection -> train2.txt
@@ -341,6 +342,31 @@ def _cmd_replay(args):
     print(json.dumps({"frames_processed": n}))
 
 
+def _cmd_export(args):
+    """AOT serving artifact: serialize the full jitted pipeline
+    (preprocess -> forward -> decode -> NMS) to StableHLO.  Weights stay
+    outside the artifact — pair it with an orbax snapshot or a `convert`
+    .npz on the serving host (serve/export.py)."""
+    from tpufcn.serve.bus import TopicBus
+    from tpufcn.serve.detector import Detector
+    from tpufcn.serve.export import export_detector
+    if args.weights:
+        from tpufcn.serve.launch import _make_detector
+        det = _make_detector(TopicBus(), {
+            "model": args.model,
+            "pretrained_weights": args.weights}, {}).detector
+    else:
+        det = Detector(args.model)
+    art = export_detector(
+        det, args.batch,
+        platforms=args.platforms.split(",") if args.platforms else None)
+    with open(args.out, "wb") as f:
+        f.write(art)
+    print(json.dumps({"out": args.out, "bytes": len(art),
+                      "batch": args.batch,
+                      "platforms": args.platforms or "default"}))
+
+
 def _cmd_launch(args):
     """The roslaunch analog: build a node graph from a JSON spec (the
     launch-file equivalent — node types/params/remaps, see
@@ -531,6 +557,20 @@ def main(argv=None):
                         help="VGG16 .caffemodel for the CNN-code "
                              "extractor (random init otherwise)")
         sp.add_argument("--input-size", type=int, default=224)
+
+    x = sub.add_parser("export",
+                       help="serialize the jitted serving pipeline to a "
+                            "StableHLO artifact (AOT deployment)")
+    x.add_argument("--model", default="googlenet_detectnet")
+    x.add_argument("--weights", default=None,
+                   help="orbax snapshot dir or .caffemodel (shapes only; "
+                        "weights are a call argument, not baked in)")
+    x.add_argument("--batch", type=int, default=8)
+    x.add_argument("--out", default="detector.stablehlo")
+    x.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets, e.g. tpu,cpu "
+                        "(default: current backend)")
+    x.set_defaults(fn=_cmd_export)
 
     ln = sub.add_parser("launch",
                         help="build a node graph from a JSON launch "
