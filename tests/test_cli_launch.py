@@ -103,9 +103,14 @@ def test_cli_detect_inprocess(tmp_path, rng, capsys):
     p = str(tmp_path / "frame.png")
     cv.imwrite(p, img)
     from tpufcn.cli import main
-    main(["detect", p, "--model", "googlenet_detectnet_1cls"])
+    ov = str(tmp_path / "ovl")
+    main(["detect", p, "--model", "googlenet_detectnet_1cls",
+          "--overlay-dir", ov])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["image"] == p and "detections" in rec
+    # reference-style overlay written per input (imshow analog)
+    out = cv.imread(str(tmp_path / "ovl" / "frame_det.png"))
+    assert out is not None and out.shape == img.shape
 
 
 def test_cli_replay(tmp_path, rng, capsys):

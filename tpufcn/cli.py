@@ -128,6 +128,16 @@ def _cmd_detect(args):
             continue
         res = node.detector(img[None])
         dets = res.to_lists()[0]
+        if args.overlay_dir:
+            # the reference's imshow overlay (fcn_object_detector.py:
+            # 141-172), written to disk instead of a GUI window
+            import os
+            from tpufcn.serve.viz import draw_detections
+            os.makedirs(args.overlay_dir, exist_ok=True)
+            out = os.path.join(
+                args.overlay_dir,
+                os.path.splitext(os.path.basename(path))[0] + "_det.png")
+            cv.imwrite(out, draw_detections(img, dets, names or None))
         print(json.dumps({"image": path, "detections": [
             {"box": [int(v) for v in box], "label": label,
              "name": (names[label] if label < len(names)
@@ -490,6 +500,9 @@ def main(argv=None):
                    help="label manifest ('idx name' / 'idx _ name' "
                         "lines) naming classes in the output, the "
                         "reference's ~manifest rosparam")
+    d.add_argument("--overlay-dir", default=None,
+                   help="write the reference-style detection overlay "
+                        "(<image>_det.png) per input")
     d.set_defaults(fn=_cmd_detect)
 
     c = sub.add_parser("convert")
