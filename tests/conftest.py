@@ -27,6 +27,10 @@ import pytest  # noqa: E402
 _SLOW = {
     "test_cli_launch.py::test_launch_graph_detector",
     "test_cli_launch.py::test_cli_detect_inprocess",
+    "test_cli_launch.py::test_cli_launch_graph",
+    "test_cli_launch.py::test_cli_refine_and_rank",
+    "test_cli_launch.py::test_launch_detector_orbax_weights",
+    "test_detector.py::test_export_roundtrip",
     "test_cli_launch.py::test_cli_train_records_eval_weights",
     "test_cli_launch.py::test_cli_replay",
     "test_e2e_train_detect.py::test_train_snapshot_serve_roundtrip",
