@@ -415,3 +415,53 @@ def test_parallel_pipeline_propagates_worker_errors(tmp_path):
             seed=0) as pipe:
         with pytest.raises(RuntimeError, match="worker failed"):
             pipe.batch()
+
+
+def test_rotate_image_with_rects():
+    """Reference rotate_image_with_rect semantics (argumentation_engine
+    .py:327-355, gated off upstream): the returned rect must be the
+    axis-aligned bound of the rotated box — checked against the actual
+    nonzero pixels of a rotated white patch (independent oracle)."""
+    from tpufcn.data.compositor import rotate_image_with_rects
+
+    class _FixedAngle:
+        def __init__(self, angle):
+            self.angle = angle
+
+        def integers(self, lo, hi):
+            assert lo == -5 and hi == 6   # the reference randint(-5, 5)
+            return self.angle
+
+    img = np.zeros((120, 160, 3), np.uint8)
+    img[40:80, 60:110] = 255
+    mask = np.zeros((120, 160), np.uint8)
+    mask[40:80, 60:110] = 7
+
+    # angle 0 == identity (modulo warp resampling of an axis-aligned box)
+    im0, r0, m0 = rotate_image_with_rects(
+        img, [[60, 40, 50, 40]], _FixedAngle(0), label_map=mask)
+    assert r0 == [[60, 40, 50, 40]]
+    np.testing.assert_array_equal(m0, mask)
+
+    im5, r5, m5 = rotate_image_with_rects(
+        img, [[60, 40, 50, 40]], _FixedAngle(5), label_map=mask)
+    ys, xs = np.nonzero(im5[..., 0])
+    x, y, w, h = r5[0]
+    # the rect must bound the rotated patch tightly (int truncation: the
+    # reference's corner cast can shave up to a pixel per side)
+    assert abs(x - xs.min()) <= 1 and abs(y - ys.min()) <= 1
+    assert abs((x + w) - (xs.max() + 1)) <= 1
+    assert abs((y + h) - (ys.max() + 1)) <= 1
+    # mask rotates with the image, label values preserved (nearest)
+    assert set(np.unique(m5)) <= {0, 7}
+    mys, mxs = np.nonzero(m5)
+    assert abs(mys.min() - ys.min()) <= 1 and abs(mxs.min() - xs.min()) <= 1
+
+    # the augmentation chain leaves rotation OFF by default (reference
+    # argumentation_engine.py:179) and applies it when asked
+    from tpufcn.data.compositor import random_augmentation
+    rng = np.random.default_rng(3)
+    out, rects, _ = random_augmentation(
+        img, [[60, 40, 50, 40]], rng, enable_zoom=False,
+        enable_photometric=False, rotate=True)
+    assert out.shape == img.shape and len(rects) == 1

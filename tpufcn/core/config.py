@@ -121,6 +121,9 @@ class DataConfig:
     scale_range: Tuple[float, float] = (1.0, 2.2)  # paste rescale range
     prefetch: int = 2
     add_background_class: bool = True
+    # the reference's +/-5 deg rotation augmentation exists but is gated
+    # off upstream (argumentation_engine.py:179); same default here
+    rotate: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

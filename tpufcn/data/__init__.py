@@ -4,6 +4,7 @@ from tpufcn.data.manifest import (
     write_label_names)
 from tpufcn.data.compositor import (
     Compositor, ComposedScene, photometric, random_augmentation,
+    rotate_image_with_rects,
     flip_image_with_rects, resize_image_and_rects, fcn_crop_sample)
 from tpufcn.data.records import (
     RecordReader, RecordWriter, create_detection_records, read_records)
@@ -18,7 +19,8 @@ __all__ = [
     "read_mask_manifest", "read_voc_manifest", "write_voc_manifest",
     "read_label_names", "write_label_names",
     "Compositor", "ComposedScene", "photometric", "random_augmentation",
-    "flip_image_with_rects", "resize_image_and_rects", "fcn_crop_sample",
+    "flip_image_with_rects", "rotate_image_with_rects",
+    "resize_image_and_rects", "fcn_crop_sample",
     "RecordReader", "RecordWriter", "create_detection_records",
     "read_records",
     "CompositeTrainPipeline", "DeviceBatchCache", "RecordTrainPipeline",

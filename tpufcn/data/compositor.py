@@ -193,12 +193,49 @@ def zoom_crop(image: np.ndarray, rect, rng: np.random.Generator,
     return roi.copy(), [int(x - nx), int(y - ny), w, h], label_map
 
 
+def rotate_image_with_rects(image: np.ndarray, rects,
+                            rng: np.random.Generator,
+                            max_angle: int = 5,
+                            label_map: Optional[np.ndarray] = None):
+    """Reference ``rotate_image_with_rect`` (argumentation_engine.py:
+    327-355; committed but gated OFF at :179 ``rotate_img = False``):
+    warpAffine about the image center by a random INTEGER angle in
+    [-max_angle, max_angle] (the reference's random.randint draw), each
+    rect replaced by the axis-aligned bounding rect of its four rotated
+    corners with the reference's int truncation.  The reference version
+    ignores the mask; ours rotates a given label_map with
+    nearest-neighbor so seg training can opt in too."""
+    h, w = image.shape[:2]
+    center = (w / 2, h / 2)
+    angle = float(rng.integers(-max_angle, max_angle + 1))
+    m = cv.getRotationMatrix2D(center, angle, 1)
+    im_rot = cv.warpAffine(image, m, (w, h))
+    out = []
+    for rect in rects:
+        x, y, rw, rh = [float(v) for v in rect]
+        xs = (x, x + rw, x, x + rw)
+        ys = (y, y, y + rh, y + rh)
+        px = [int(xc * m[0, 0] + yc * m[0, 1] + m[0, 2])
+              for xc, yc in zip(xs, ys)]
+        py = [int(xc * m[1, 0] + yc * m[1, 1] + m[1, 2])
+              for xc, yc in zip(xs, ys)]
+        out.append([min(px), min(py),
+                    max(px) - min(px), max(py) - min(py)])
+    if label_map is not None:
+        label_map = cv.warpAffine(label_map, m, (w, h),
+                                  flags=cv.INTER_NEAREST)
+    return im_rot, out, label_map
+
+
 def random_augmentation(image: np.ndarray, rects,
                         rng: np.random.Generator,
                         label_map: Optional[np.ndarray] = None,
                         enable_zoom: bool = True,
-                        enable_photometric: bool = True):
-    """Flip + zoom-crop (single-box case, as the reference) + photometric."""
+                        enable_photometric: bool = True,
+                        rotate: bool = False):
+    """Flip + zoom-crop (single-box case, as the reference) + photometric
+    (+ the reference's gated-off rotation when ``rotate=True``, applied
+    after photometric like the reference chain :176-183)."""
     flip_code = int(rng.integers(-1, 3))    # {-1, 0, 1, 2}; 2 = no flip
     if -2 < flip_code < 2:
         image, rects = flip_image_with_rects(image, rects, flip_code)
@@ -213,6 +250,9 @@ def random_augmentation(image: np.ndarray, rects,
 
     if enable_photometric:
         image = photometric(image, rng)
+    if rotate:
+        image, rects, label_map = rotate_image_with_rects(
+            image, rects, rng, label_map=label_map)
     return image, rects, label_map
 
 

@@ -103,7 +103,8 @@ class CompositeTrainPipeline:
         img, rects, label_map = random_augmentation(
             scene.image, [list(r) for r in scene.rects], self.rng,
             label_map=scene.mask,
-            enable_zoom=len(scene.rects) == 1)
+            enable_zoom=len(scene.rects) == 1,
+            rotate=self.cfg.rotate)
         img, rects = resize_image_and_rects(
             img, rects, (self.grid.im_width, self.grid.im_height))
         if label_map is None:
