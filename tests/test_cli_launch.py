@@ -224,6 +224,19 @@ def test_cli_records_and_voc(tmp_path, rng):
     from tpufcn.data import RecordReader
     assert len(RecordReader(str(tmp_path / "rec/ds"))) == 1
 
+    # --inspect: the reference writer's read_lmdb debug view
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["records", "--out", str(tmp_path / "rec/ds"), "--inspect"])
+    out = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert out[0]["image"] == [40, 60, 3]
+    assert out[0]["rects"] == [[5, 5, 20, 20]]
+    assert out[-1] == {"records": 1, "prefix": str(tmp_path / "rec/ds")}
+    with pytest.raises(SystemExit):
+        main(["records", "--out", str(tmp_path / "rec/ds")])  # no manifest
+
 
 def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
     """Offline workflow: records -> train --records -> eval --weights

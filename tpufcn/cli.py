@@ -169,6 +169,22 @@ def _cmd_convert(args):
 
 def _cmd_records(args):
     from tpufcn.data import create_detection_records, read_detection_manifest
+    if args.inspect:
+        # the reference writer's read_lmdb debug inspector
+        # (create_training_lmdb.py:492-509): per-record label + shape
+        from tpufcn.data import RecordReader
+        r = RecordReader(args.out)
+        for i in range(min(args.limit, len(r))):
+            rec = r.read(i)
+            print(json.dumps({
+                "index": i,
+                "image": list(rec["image"].shape),
+                "rects": rec["rects"].tolist(),
+                "labels": rec["labels"].tolist()}))
+        print(json.dumps({"records": len(r), "prefix": args.out}))
+        return
+    if not args.manifest:
+        raise SystemExit("--manifest is required (unless --inspect)")
     samples = read_detection_manifest(args.manifest)
     n = create_detection_records(
         samples, args.out, augment=args.augment,
@@ -513,8 +529,13 @@ def main(argv=None):
     c.set_defaults(fn=_cmd_convert)
 
     r = sub.add_parser("records")
-    r.add_argument("--manifest", required=True)
+    r.add_argument("--manifest", default=None)
     r.add_argument("--out", required=True)
+    r.add_argument("--inspect", action="store_true",
+                   help="read back records at --out and print label/"
+                        "shape lines (the reference writer's read_lmdb "
+                        "inspector) instead of writing")
+    r.add_argument("--limit", type=int, default=10)
     r.add_argument("--augment", action="store_true",
                    help="bake the reference's offline augmentation chain "
                         "into the shards (original+flip+zoom-crop+blur "
