@@ -228,16 +228,11 @@ def _eval_seg(args):
     model = build(args.model, **mkw)
     H, W = spec.grid.im_height, spec.grid.im_width
 
-    params = None
-    if args.weights and os.path.isdir(args.weights):
-        from tpufcn.train.trainer import load_snapshot_params
-        params = load_snapshot_params(args.weights)
-    if params is None:
-        params = jax.jit(model.init)(jax.random.key(0),
-                                     jnp.zeros((1, H, W, 3), jnp.float32))
-        if args.weights:  # a .caffemodel file
-            from tpufcn.convert import convert_caffemodel
-            params = convert_caffemodel(params, args.weights, strict=False)
+    from tpufcn.convert import resolve_weights
+    params = resolve_weights(
+        args.weights,
+        lambda: jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, H, W, 3), jnp.float32)))
 
     @jax.jit
     def fwd(p, x):

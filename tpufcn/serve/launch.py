@@ -78,18 +78,18 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         if not os.path.isfile(weights) and not os.path.isdir(weights):
             raise FileNotFoundError(f"PROVIDE PRETRAINED MODEL: {weights}")
         if mode != "tiled":   # tiled mode never runs the box model
-            if os.path.isdir(weights):
-                from tpufcn.train.trainer import load_snapshot_params
-                det_params = load_snapshot_params(weights)
-            else:
+            from tpufcn.convert import resolve_weights
+
+            def _init():
                 import jax
-                from tpufcn.convert import convert_caffemodel
                 model = build(model_name, dtype=jnp.bfloat16, **mkw)
                 g = spec.grid
-                init = jax.jit(model.init)(
+                return jax.jit(model.init)(
                     jax.random.key(0),
-                    jnp.zeros((1, g.im_height, g.im_width, 3), jnp.float32))
-                det_params = convert_caffemodel(init, weights, strict=False)
+                    jnp.zeros((1, g.im_height, g.im_width, 3),
+                              jnp.float32))
+
+            det_params = resolve_weights(weights, _init)
     detector = None
     tiled = None
     if mode == "tiled":
