@@ -110,6 +110,40 @@ def test_detector_node_overlay_names(rng):
     assert node.names[1] == "bottle"
 
 
+def test_detector_node_micro_batching(rng):
+    """micro_batch > 1: one jitted dispatch per full micro-batch, the
+    tail flushed as a PADDED batch (single compiled shape, pad outputs
+    discarded), per-frame rects with their original stamps."""
+    calls = []
+
+    class _Res:
+        def __init__(self, n):
+            self.n = n
+
+        def to_lists(self):
+            return [[([1, 2, 3, 4], 0, 0.9)]] * self.n
+
+    class _Stub:
+        def __call__(self, frames):
+            calls.append(frames.shape)
+            return _Res(frames.shape[0])
+
+    bus = TopicBus()
+    node = DetectorNode(bus, detector=_Stub(), micro_batch=2)
+    frames = [rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+              for _ in range(5)]
+    outs = []
+    bus.subscribe("/fcn_object_detector/rects",
+                  lambda m: outs.append(m.stamp), queue_size=16)
+    n = replay(node, frames)
+    bus.spin_once()
+    assert n == 5
+    # 2 full batches + 1 padded flush, all at the compiled batch shape
+    assert calls == [(2, 32, 48, 3)] * 3
+    assert outs == [0.0, 1.0, 2.0, 3.0, 4.0]   # original stamps, in order
+    assert node.flush() is None and len(calls) == 3   # idempotent
+
+
 def test_tiled_segmenter(rng):
     seg = TiledSegmenter("fcn32s_seg", dtype=jnp.float32, stride=1)
     frame = rng.integers(0, 256, (256, 320, 3)).astype(np.uint8)

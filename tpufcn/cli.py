@@ -409,6 +409,10 @@ def _cmd_launch(args):
             graph.bus.publish(args.topic, img, stamp=float(i))
             graph.spin()
             published += 1
+        for node in graph.nodes.values():
+            if hasattr(node, "flush"):
+                node.flush()     # part-filled micro-batches at stream end
+        graph.spin()             # deliver anything the flush published
     else:
         graph.spin(args.spin)
     print(json.dumps({

@@ -123,6 +123,7 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         bus, detector=detector, mode=mode, tiled=tiled,
         names=names,
         overlay_topic=params.get("overlay_topic"),
+        micro_batch=int(params.get("micro_batch", 1)),
         image_topic=remap.get("image", "image"),
         rects_topic=remap.get("rects", "/fcn_object_detector/rects"),
         pmap_topic=remap.get("pmap", "/fcn_object_detector/pmap"))

@@ -154,6 +154,7 @@ class DetectorNode:
                  publish_rects: bool = True,
                  names: Optional[Sequence[str]] = None,
                  overlay_topic: Optional[str] = None,
+                 micro_batch: int = 1,
                  timer=None):
         # names: per-class display names from a label manifest
         # (reference rosparam ~manifest -> load_label_manifest,
@@ -176,8 +177,21 @@ class DetectorNode:
         self.pmap_topic = pmap_topic
         self.publish_rects = publish_rects
         self.timer = timer   # optional tpufcn.utils.StageTimer
+        # micro_batch > 1: production serving shape — buffer frames and
+        # run ONE jitted dispatch per micro-batch (the measured-fast
+        # configuration of replay_throughput / BASELINE config #2),
+        # publishing per-frame rects with their ORIGINAL stamps.  Call
+        # flush() at stream end; a partial batch pads by repeating the
+        # last frame (one compiled shape) and the pad outputs are
+        # discarded.  Boxes mode only.
+        self.micro_batch = max(1, int(micro_batch))
+        self._pending: List[Tuple[np.ndarray, float]] = []
         self.processed = 0
-        bus.subscribe(image_topic, self._callback, queue_size=1)
+        # buffer up to a full micro-batch in the subscription queue —
+        # with the default drop-oldest queue of 1, frames published
+        # faster than spin_once would silently vanish before batching
+        bus.subscribe(image_topic, self._callback,
+                      queue_size=self.micro_batch)
 
     def _callback(self, msg: Message):
         if self.timer is not None:
@@ -201,23 +215,50 @@ class DetectorNode:
                 self.bus.publish(self.rects_topic,
                                  RectsMsg(pts, labels, [0.0] * len(labels)),
                                  stamp=msg.stamp)
+        elif self.micro_batch > 1:
+            if self._pending and self._pending[0][0].shape != frame.shape:
+                self.flush()     # camera geometry changed mid-stream
+            self._pending.append((frame, msg.stamp))
+            if len(self._pending) >= self.micro_batch:
+                self._dispatch()
+            return               # processed counts at dispatch time
         else:
             res = self.detector(frame[None])
-            dets = res.to_lists()[0]
+            self._publish_boxes(frame, res.to_lists()[0], msg.stamp)
+        self.processed += 1
+
+    def _publish_boxes(self, frame, dets, stamp: float):
+        if self.publish_rects:
             pts = [p for box, _, _ in dets
                    for p in ((box[0], box[1]), (box[2], box[3]))]
             labels = [l for _, l, _ in dets]
             confs = [c for _, _, c in dets]
-            if self.publish_rects:
-                self.bus.publish(self.rects_topic,
-                                 RectsMsg(pts, labels, confs),
-                                 stamp=msg.stamp)
-            if self.overlay_topic:
-                from tpufcn.serve.viz import draw_detections
-                self.bus.publish(self.overlay_topic,
-                                 draw_detections(frame, dets, self.names),
-                                 stamp=msg.stamp)
-        self.processed += 1
+            self.bus.publish(self.rects_topic,
+                             RectsMsg(pts, labels, confs), stamp=stamp)
+        if self.overlay_topic:
+            from tpufcn.serve.viz import draw_detections
+            self.bus.publish(self.overlay_topic,
+                             draw_detections(frame, dets, self.names),
+                             stamp=stamp)
+
+    def _dispatch(self):
+        pending, self._pending = self._pending, []
+        n = len(pending)
+        stack = np.stack([f for f, _ in pending])
+        if n < self.micro_batch:
+            # pad to the one compiled batch shape; discard pad outputs
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], self.micro_batch - n,
+                                  axis=0)])
+        lists = self.detector(stack).to_lists()
+        for (frame, stamp), dets in zip(pending, lists[:n]):
+            self._publish_boxes(frame, dets, stamp)
+        self.processed += n
+
+    def flush(self):
+        """Dispatch a buffered partial micro-batch (call at stream end)."""
+        if self._pending:
+            self._dispatch()
 
 
 def replay(node: DetectorNode, frames: Sequence[np.ndarray],
@@ -229,6 +270,7 @@ def replay(node: DetectorNode, frames: Sequence[np.ndarray],
     for i, f in enumerate(frames):
         bus.publish(image_topic, f, stamp=float(i))
         bus.spin_once()
+    node.flush()        # no-op unless a micro-batch is part-filled
     return node.processed
 
 
