@@ -201,6 +201,13 @@ def main():
                      model_kwargs={"store_dtype": jnp.float8_e5m2})
     resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
 
+    # VGG pyramid deploy net (C17, 20-class, 448²) — the reference's
+    # heaviest serving graph, tracked at its measured-optimal batch 64
+    det_v = Detector("vgg_pyramid_detectnet_serving", dtype=jnp.bfloat16,
+                     max_candidates=256)
+    vgg_ips = 64 / _time_loop(det_v._infer_impl, det_v.params, frames[:64])
+    del det_v
+
     maps = _map_synthetic()
     seg_miou = _seg_miou_synthetic()
 
@@ -215,6 +222,7 @@ def main():
                   "exact_bf16_img_per_sec": round(exact_ips, 1),
                   "p50_single_frame_ms": round(lat_ms, 3),
                   "resnet_fpn_img_per_sec": round(resnet_ips, 1),
+                  "vgg_pyramid_img_per_sec": round(vgg_ips, 1),
                   "map_synthetic": maps["exact"],
                   "map_synthetic_fp8": maps["fp8"],
                   "seg_miou_synthetic": seg_miou,
