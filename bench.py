@@ -171,7 +171,43 @@ def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
     return round(float(res["mean_iou"]), 4)
 
 
+def _wait_for_backend():
+    """Bounded wait for a reachable jax backend before any in-process use.
+
+    The axon TPU tunnel can be down for multi-hour stretches (CLAUDE.md):
+    the first jax call then hangs FOREVER in a nanosleep retry loop, which
+    would hang the whole benchmark run.  Probe the backend in a subprocess
+    with a hard timeout and retry until the self-healing tunnel returns
+    (deadline via BENCH_TPU_WAIT_S, default 2 h), keeping stdout clean for
+    the single JSON result line."""
+    import subprocess
+    import sys
+
+    deadline_s = float(os.environ.get("BENCH_TPU_WAIT_S", 7200))
+    t0 = time.time()
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=120, text=True)
+            if out.returncode == 0:
+                return out.stdout.strip()
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > deadline_s:
+            raise SystemExit(
+                f"bench: jax backend unreachable after {int(waited)}s "
+                "(TPU tunnel outage — see CLAUDE.md); raise "
+                "BENCH_TPU_WAIT_S to wait longer")
+        print(f"bench: backend probe failed ({int(waited)}s elapsed); "
+              "TPU tunnel likely down, retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
     from tpufcn.serve.detector import Detector

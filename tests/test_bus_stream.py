@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpufcn.serve.bus import (
     ApproximateTimeSynchronizer, TimeSynchronizer, TopicBus)
@@ -142,6 +143,47 @@ def test_detector_node_micro_batching(rng):
     assert calls == [(2, 32, 48, 3)] * 3
     assert outs == [0.0, 1.0, 2.0, 3.0, 4.0]   # original stamps, in order
     assert node.flush() is None and len(calls) == 3   # idempotent
+
+
+def test_detector_node_failed_dispatch_keeps_frames(rng):
+    """A dispatch that raises must not eat the buffered micro-batch:
+    the frames are restored and a retry (next dispatch / flush)
+    publishes them, chunked at the compiled batch shape."""
+    calls = {"n": 0}
+
+    class _Res:
+        def __init__(self, n):
+            self.n = n
+
+        def to_lists(self):
+            return [[([1, 2, 3, 4], 0, 0.9)]] * self.n
+
+    class _Flaky:
+        def __call__(self, frames):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("device dispatch failed")
+            assert frames.shape[0] == 2    # never an oversized batch
+            return _Res(frames.shape[0])
+
+    bus = TopicBus()
+    node = DetectorNode(bus, detector=_Flaky(), micro_batch=2)
+    frames = [rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+              for _ in range(3)]
+    outs = []
+    bus.subscribe("/fcn_object_detector/rects",
+                  lambda m: outs.append(m.stamp), queue_size=16)
+    bus.publish("image", frames[0], stamp=0.0)
+    bus.publish("image", frames[1], stamp=1.0)
+    with pytest.raises(RuntimeError):
+        bus.spin_once()
+    assert node.processed == 0 and len(node._pending) == 2
+    bus.publish("image", frames[2], stamp=2.0)
+    bus.spin_once()      # retry: one full batch dispatched, one buffered
+    node.flush()         # padded tail
+    bus.spin_once()
+    assert node.processed == 3
+    assert outs == [0.0, 1.0, 2.0]   # original stamps, in order
 
 
 def test_tiled_segmenter(rng):

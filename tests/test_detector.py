@@ -209,8 +209,6 @@ def test_export_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(live.confidence),
                                np.asarray(aot.confidence))
     # mesh-sharded detectors capture per-shard semantics; export refuses
-    from tpufcn.core.config import MeshConfig
-    from tpufcn.core.mesh import make_mesh
     det_m = Detector.__new__(Detector)
     det_m.mesh = object()
     det_m.grid = det.grid

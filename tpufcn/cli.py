@@ -121,6 +121,7 @@ def _cmd_detect(args):
         "manifest": args.manifest,
     }, {})
     names = node.names or []
+    overlay_names: set = set()
     for path in args.images:
         img = cv.imread(path)
         if img is None:
@@ -134,9 +135,15 @@ def _cmd_detect(args):
             import os
             from tpufcn.serve.viz import draw_detections
             os.makedirs(args.overlay_dir, exist_ok=True)
-            out = os.path.join(
-                args.overlay_dir,
-                os.path.splitext(os.path.basename(path))[0] + "_det.png")
+            # inputs from different directories can share a basename —
+            # disambiguate instead of silently overwriting the first
+            stem = os.path.splitext(os.path.basename(path))[0]
+            n, base = 1, stem
+            while stem in overlay_names:
+                stem = f"{base}_{n}"
+                n += 1
+            overlay_names.add(stem)
+            out = os.path.join(args.overlay_dir, stem + "_det.png")
             cv.imwrite(out, draw_detections(img, dets, names or None))
         print(json.dumps({"image": path, "detections": [
             {"box": [int(v) for v in box], "label": label,
@@ -380,7 +387,8 @@ def _cmd_export(args):
         det = Detector(args.model)
     art = export_detector(
         det, args.batch,
-        platforms=args.platforms.split(",") if args.platforms else None)
+        platforms=([p.strip() for p in args.platforms.split(",")]
+                   if args.platforms else None))
     with open(args.out, "wb") as f:
         f.write(art)
     print(json.dumps({"out": args.out, "bytes": len(art),
@@ -418,8 +426,7 @@ def _cmd_launch(args):
     print(json.dumps({
         "nodes": sorted(graph.nodes),
         "frames_published": published,
-        "processed": {name: getattr(node, "processed",
-                                    getattr(node, "counter", None))
+        "processed": {name: getattr(node, "processed", None)
                       for name, node in graph.nodes.items()}}))
 
 

@@ -1,8 +1,11 @@
 """Stream nodes: the reference's ROS nodes on the tpufcn topic bus.
 
 ``DetectorNode`` mirrors ``FCNObjectDetector`` (reference
-scripts/fcn_object_detector.py): subscribes ``image`` (queue 1,
-drop-oldest), runs the single-dispatch TPU pipeline, publishes corner
+scripts/fcn_object_detector.py): subscribes ``image`` (drop-oldest
+queue sized to the micro-batch — 1 in the default single-frame mode, so
+only the freshest frame is kept; ``micro_batch=N`` buffers N frames and
+runs one jitted dispatch per batch), runs the single-dispatch TPU
+pipeline, publishes corner
 rects on ``/fcn_object_detector/rects`` and a mono8 probability map on
 ``/fcn_object_detector/pmap`` — the same topic contract as the launch
 file (reference launch/fcn_object_detector.launch:2-23).
@@ -242,18 +245,30 @@ class DetectorNode:
                              stamp=stamp)
 
     def _dispatch(self):
-        pending, self._pending = self._pending, []
-        n = len(pending)
-        stack = np.stack([f for f, _ in pending])
-        if n < self.micro_batch:
-            # pad to the one compiled batch shape; discard pad outputs
-            stack = np.concatenate(
-                [stack, np.repeat(stack[-1:], self.micro_batch - n,
-                                  axis=0)])
-        lists = self.detector(stack).to_lists()
-        for (frame, stamp), dets in zip(pending, lists[:n]):
-            self._publish_boxes(frame, dets, stamp)
-        self.processed += n
+        # chunk at micro_batch: after a failed dispatch restores its
+        # frames, _pending can exceed one batch — never stack a larger
+        # (newly compiled) shape
+        while self._pending:
+            pending = self._pending[:self.micro_batch]
+            self._pending = self._pending[self.micro_batch:]
+            n = len(pending)
+            stack = np.stack([f for f, _ in pending])
+            if n < self.micro_batch:
+                # pad to the one compiled batch shape; discard pad outputs
+                stack = np.concatenate(
+                    [stack, np.repeat(stack[-1:], self.micro_batch - n,
+                                      axis=0)])
+            try:
+                lists = self.detector(stack).to_lists()
+            except Exception:
+                # a failed dispatch (device error, bad frame) must not
+                # eat the buffered frames: restore them so a later
+                # dispatch / flush can retry, and surface the error
+                self._pending = pending + self._pending
+                raise
+            for (frame, stamp), dets in zip(pending, lists[:n]):
+                self._publish_boxes(frame, dets, stamp)
+            self.processed += n
 
     def flush(self):
         """Dispatch a buffered partial micro-batch (call at stream end)."""

@@ -37,6 +37,8 @@ class ImageRectWriter:
                     if len(n) == 12 and n.endswith(".jpg")
                     and n[:-4].isdigit()]
         self.counter = max(existing) + 1 if existing else 0
+        self.processed = 0   # frames written THIS run (counter resumes
+        #                      past pre-existing files, so it is not a count)
         TimeSynchronizer(bus, [image_topic, rect_topic], self.callback,
                          queue_size=queue_size)
 
@@ -58,3 +60,4 @@ class ImageRectWriter:
             f.write(detection_line(path, (x, y, w, h), self.label,
                                    one_based_labels=False) + "\n")
         self.counter += 1
+        self.processed += 1

@@ -43,13 +43,20 @@ def load_snapshot_params(snapshot_dir: str, step: Optional[int] = None):
     path = os.path.join(os.path.abspath(snapshot_dir), str(step), "default")
     ck = ocp.PyTreeCheckpointer()
     tmeta = ck.metadata(path).item_metadata
-    leaves, treedef = jax.tree_util.tree_flatten(
-        getattr(tmeta, "tree", tmeta))
+    mtree = getattr(tmeta, "tree", tmeta)
+    # restore ONLY the params subtree (transforms={} drops the rest):
+    # a full-state restore would also materialize the optimizer moments
+    # (~2x the params bytes of wasted IO/RAM) just to discard them
+    leaves, treedef = jax.tree_util.tree_flatten(mtree["params"])
     restore_args = jax.tree_util.tree_unflatten(
         treedef,
         [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves))
+    item = jax.tree_util.tree_unflatten(treedef, [0] * len(leaves))
     restored = ck.restore(
-        path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+        path, args=ocp.args.PyTreeRestore(
+            item={"params": item},
+            restore_args={"params": restore_args},
+            transforms={}))
     return jax.tree_util.tree_map(jnp.asarray, restored["params"])
 
 
