@@ -81,7 +81,11 @@ def _cmd_train(args):
             args.manifest,
             snapshot_label_manifest=snapshot_label_path(
                 _os.path.join(cfg.snapshot_dir, "labels")))
-        if args.workers > 0:
+        if args.device_data:
+            from tpufcn.data import DeviceCompositePipeline
+            pipe = DeviceCompositePipeline(samples, cfg.grid, cfg.data,
+                                           backgrounds=args.backgrounds)
+        elif args.workers > 0:
             from tpufcn.data.parallel import ParallelCompositePipeline
             pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,
                                              backgrounds=args.backgrounds,
@@ -505,6 +509,11 @@ def main(argv=None):
     t.add_argument("--snapshot-dir", default=None)
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")
+    t.add_argument("--device-data", action="store_true",
+                   help="compose scenes ON the accelerator (one jitted "
+                        "dispatch per batch, zero per-step host work; "
+                        "the fast path — host compositing stays the "
+                        "reference-exact parity path)")
     t.add_argument("--cache", type=int, default=0,
                    help="device-resident batch cache: build N batches "
                         "once, train epochs over them from HBM (fast on "

@@ -12,6 +12,8 @@ from tpufcn.data.pipeline import (
     CompositeTrainPipeline, DeviceBatchCache, RecordTrainPipeline,
     prefetch, pad_boxes)
 from tpufcn.data.parallel import ParallelCompositePipeline
+from tpufcn.data.device_compositor import (
+    CropLibrary, DeviceCompositePipeline)
 from tpufcn.data.voc import PascalVOC, VOC_CLASSES
 
 __all__ = [
@@ -26,5 +28,6 @@ __all__ = [
     "CompositeTrainPipeline", "DeviceBatchCache", "RecordTrainPipeline",
     "prefetch", "pad_boxes",
     "ParallelCompositePipeline",
+    "CropLibrary", "DeviceCompositePipeline",
     "PascalVOC", "VOC_CLASSES",
 ]
