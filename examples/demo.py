@@ -76,6 +76,9 @@ def main():
                     help="device-resident batch cache: compose N "
                          "batches once, train epochs over them from HBM "
                          "(fast on 1-core hosts / remote-TPU tunnels)")
+    ap.add_argument("--device-data", action="store_true",
+                    help="compose every batch ON the accelerator (one "
+                         "jitted dispatch; zero per-step host work)")
     args = ap.parse_args()
 
     import dataclasses
@@ -108,7 +111,13 @@ def main():
     trainer = Trainer(cfg, model=model,
                       steps_per_dispatch=args.cache if args.cache else 4)
     parallel_pipe = None
-    if args.workers > 0:
+    if args.device_data:
+        from tpufcn.data import DeviceCompositePipeline
+        dev_pipe = DeviceCompositePipeline(
+            samples, grid, DataConfig(batch_size=args.batch),
+            box_capacity=4, seed=1)
+        src = iter(dev_pipe)
+    elif args.workers > 0:
         from tpufcn.data.parallel import ParallelCompositePipeline
         parallel_pipe = ParallelCompositePipeline(
             samples, grid, DataConfig(batch_size=args.batch),
@@ -124,7 +133,9 @@ def main():
         # the one-time cache fill), then train epochs from HBM
         from tpufcn.data import DeviceBatchCache
         src = iter(DeviceBatchCache(trainer.put, src, args.cache))
-    elif args.workers == 0:
+    elif args.workers == 0 and not args.device_data:
+        # (device batches need no host prefetch thread — dispatches
+        # are already asynchronous)
         from tpufcn.data import prefetch
         src = prefetch(src, depth=4)
     state = trainer.fit(src, max_iter=args.steps)
