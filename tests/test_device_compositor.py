@@ -130,6 +130,34 @@ def test_rotate_refused(dataset):
                                 imread=imread)
 
 
+def test_mesh_sharded_generation_matches_single_device(dataset):
+    """out_shardings=batch_sharding(mesh): GSPMD partitions the
+    generator over the mesh with IDENTICAL numerics, and the batch
+    lands already sharded for the train step (zero resharding)."""
+    import jax
+    from tpufcn.core.config import MeshConfig
+    from tpufcn.core.mesh import make_mesh
+    from tpufcn.train.step import batch_sharding
+
+    samples, imread = dataset
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    kw = dict(imread=imread, seed=21, box_capacity=4)
+    single = DeviceCompositePipeline(samples, GRID,
+                                     DataConfig(batch_size=8), **kw)
+    sharded = DeviceCompositePipeline(samples, GRID,
+                                      DataConfig(batch_size=8),
+                                      mesh=mesh, **kw)
+    b1 = single.batch(8)
+    b2 = sharded.batch(8)
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    sh = batch_sharding(mesh)
+    assert b2["image"].sharding.is_equivalent_to(sh["image"],
+                                                 b2["image"].ndim)
+    assert b2["rects"].sharding.is_equivalent_to(sh["rects"],
+                                                 b2["rects"].ndim)
+
+
 @pytest.mark.slow
 def test_train_step_integration(dataset):
     import jax.numpy as jnp

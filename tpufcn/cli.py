@@ -82,9 +82,14 @@ def _cmd_train(args):
             snapshot_label_manifest=snapshot_label_path(
                 _os.path.join(cfg.snapshot_dir, "labels")))
         if args.device_data:
+            from tpufcn.core.mesh import make_mesh
             from tpufcn.data import DeviceCompositePipeline
-            pipe = DeviceCompositePipeline(samples, cfg.grid, cfg.data,
-                                           backgrounds=args.backgrounds)
+            pipe = DeviceCompositePipeline(
+                samples, cfg.grid, cfg.data,
+                backgrounds=args.backgrounds,
+                # on a mesh, generate batches already sharded for the step
+                mesh=(make_mesh(cfg.mesh)
+                      if cfg.mesh.num_devices > 1 else None))
         elif args.workers > 0:
             from tpufcn.data.parallel import ParallelCompositePipeline
             pipe = ParallelCompositePipeline(samples, cfg.grid, cfg.data,

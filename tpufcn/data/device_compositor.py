@@ -397,7 +397,8 @@ class DeviceCompositePipeline:
                  trials: int = 16,
                  scene_flip: bool = True,
                  zoom: bool = True,
-                 photometric: bool = True):
+                 photometric: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
         from jax import random
@@ -454,7 +455,17 @@ class DeviceCompositePipeline:
             return jax.vmap(lambda k: one(k, bgs, lib))(
                 random.split(key, n))
 
-        self._gen = jax.jit(gen, static_argnums=1)
+        # on a mesh the generator is jitted with the TRAIN step's batch
+        # shardings as out_shardings, so GSPMD partitions the generation
+        # itself over the mesh (each device composes its own batch
+        # shard) and the train step consumes batches with zero
+        # resharding — the input pipeline is SPMD like everything else
+        if mesh is not None:
+            from tpufcn.train.step import batch_sharding
+            self._gen = jax.jit(gen, static_argnums=1,
+                                out_shardings=batch_sharding(mesh))
+        else:
+            self._gen = jax.jit(gen, static_argnums=1)
         self._key = random.key(seed)
 
     def batch(self, batch_size: int) -> Dict[str, object]:
