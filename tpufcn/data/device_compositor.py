@@ -291,9 +291,9 @@ def _zoom_crop(key, img, seg, rects, valid, *, H, W):
     img2 = _render(img, (H, W), sy, sx, -ny * sy, -nx * sx, 3)
     segf = _render((seg > 0).astype(jnp.float32)[..., None],
                    (H, W), sy, sx, -ny * sy, -nx * sx, 1)[..., 0]
-    lab = seg[jnp.clip(jnp.round(y + h / 2), 0, H - 1).astype(jnp.int32),
-              jnp.clip(jnp.round(x + w / 2), 0, W - 1).astype(jnp.int32)]
-    lab = jnp.maximum(lab, 1)          # box center may miss the mask
+    # single-box scene: the seg map holds exactly one object class, so
+    # its max IS label+1 (a box-center probe would misread hollow masks)
+    lab = jnp.maximum(jnp.max(seg), 1)
     seg2 = jnp.where(segf > 0.5, lab, 0)
     r = jnp.stack([(x - nx) * sx, (y - ny) * sy, w * sx, h * sy])
     rects2 = rects.at[i].set(jnp.floor(r))
