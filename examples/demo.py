@@ -111,6 +111,9 @@ def main():
     trainer = Trainer(cfg, model=model,
                       steps_per_dispatch=args.cache if args.cache else 4)
     parallel_pipe = None
+    if args.device_data and args.workers:
+        raise SystemExit("--device-data and --workers are exclusive "
+                         "(accelerator vs host-pool scene building)")
     if args.device_data:
         from tpufcn.data import DeviceCompositePipeline
         dev_pipe = DeviceCompositePipeline(

@@ -81,6 +81,11 @@ def _cmd_train(args):
             args.manifest,
             snapshot_label_manifest=snapshot_label_path(
                 _os.path.join(cfg.snapshot_dir, "labels")))
+        if args.device_data and args.workers:
+            raise SystemExit(
+                "--device-data composes on the accelerator; --workers "
+                "(host worker pool) does not apply — pass one or the "
+                "other")
         if args.device_data:
             from tpufcn.core.mesh import make_mesh
             from tpufcn.data import DeviceCompositePipeline

@@ -35,9 +35,11 @@ deviations (PARITY.md "Known deviations"):
   * the photometric OneOf's median-blur arm becomes a second box-blur
     arm (a data-dependent-rank selection network per pixel buys nothing
     for an augmentation), and blur kernels use a fixed 9-tap support;
-  * the single-box zoom-crop follows the reference's enlargement law
-    (e ~ U(1, floor(img/box)) per axis, jittered center) without its
-    int-truncation walk (argumentation_engine.py:193-236).
+  * the single-box zoom-crop follows the reference's window law
+    (both axes grow by e1 + e2, e1 ~ U(1, floor(W/w)),
+    e2 ~ U(1, floor(H/h)), jittered center — so the window is at least
+    2x the box) without its int-truncation walk
+    (argumentation_engine.py:193-236).
 """
 
 from __future__ import annotations
@@ -118,24 +120,14 @@ def _load_backgrounds(paths: Sequence[str], size_wh: Tuple[int, int],
     return np.stack(out)
 
 
-def _scaled_iou_grid(placed, pvalid, cx, cy, w, h, eps=1e-9):
-    """Reference JaccardCoeff.iou of each placed box vs each candidate
-    (tpufcn.data.compositor._scaled_iou_vec, vectorized (S, T))."""
+def _scaled_iou_grid(placed, pvalid, cx, cy, w, h):
+    """Reference JaccardCoeff.iou of each placed box vs each candidate,
+    (S, T) — one broadcast of the shared op (tpufcn.ops.boxes)."""
     import jax.numpy as jnp
-    bx, by, bw, bh = (placed[:, i:i + 1] for i in range(4))  # (S, 1)
-    ix = jnp.maximum(bx, cx[None, :])
-    iy = jnp.maximum(by, cy[None, :])
-    iw = jnp.minimum(bx + bw, cx[None, :] + w) - ix
-    ih = jnp.minimum(by + bh, cy[None, :] + h) - iy
-    ux = jnp.minimum(bx, cx[None, :])
-    uy = jnp.minimum(by, cy[None, :])
-    uw = jnp.maximum(bx + bw, cx[None, :] + w) - ux
-    uh = jnp.maximum(by + bh, cy[None, :] + h) - uy
-    inter = iw * ih
-    score = jnp.where((iw < 0) | (ih < 0) | (inter == 0),
-                      0.0, inter / jnp.maximum(uw * uh, eps))
-    ratio = (bw * bh) / jnp.maximum(w * h, eps)
-    iou = score / jnp.maximum(ratio, eps)
+    from tpufcn.ops.boxes import scaled_iou_xywh
+    cand = jnp.stack([cx, cy, jnp.broadcast_to(w, cx.shape),
+                      jnp.broadcast_to(h, cx.shape)], axis=-1)
+    iou = scaled_iou_xywh(placed[:, None, :], cand[None, :, :])
     return jnp.where(pvalid[:, None], iou, 0.0)      # (S, T)
 
 
@@ -273,12 +265,16 @@ def _zoom_crop(key, img, seg, rects, valid, *, H, W):
     x, y, w, h = rects[i, 0], rects[i, 1], rects[i, 2], rects[i, 3]
     w = jnp.maximum(w, 1.0)
     h = jnp.maximum(h, 1.0)
-    ex = random.uniform(k1, (), minval=1.0,
+    # reference window law (zoom_crop): BOTH axes grow by the same
+    # e1 + e2 with e1 ~ U(1, floor(W/w)), e2 ~ U(1, floor(H/h)) — the
+    # window is never smaller than 2x the box (widths = (w*e1, w*e2),
+    # cw = their sum; argumentation_engine.py:193-236)
+    e1 = random.uniform(k1, (), minval=1.0,
                         maxval=jnp.maximum(jnp.floor(W / w), 1.0))
-    ey = random.uniform(k2, (), minval=1.0,
+    e2 = random.uniform(k2, (), minval=1.0,
                         maxval=jnp.maximum(jnp.floor(H / h), 1.0))
-    nw = jnp.clip(w * ex, w, W)
-    nh = jnp.clip(h * ey, h, H)
+    nw = jnp.clip(w * (e1 + e2), w, W)
+    nh = jnp.clip(h * (e1 + e2), h, H)
     # window center: box center jittered within the slack, clamped so
     # the window stays inside the frame AND contains the box
     cx = x + w / 2 + (random.uniform(k3, ()) - 0.5) * (nw - w)
@@ -394,7 +390,7 @@ class DeviceCompositePipeline:
                  box_capacity: int = 8,
                  imread=cv.imread,
                  seed: int = 0,
-                 trials: int = 16,
+                 trials: Optional[int] = None,
                  scene_flip: bool = True,
                  zoom: bool = True,
                  photometric: bool = True,
@@ -425,6 +421,11 @@ class DeviceCompositePipeline:
         iou_th = self.cfg.compose_iou_thresh
         sc = self.cfg.scale_range
         cap = box_capacity
+        # candidate count = the host path's bounded-trials budget
+        # (DataConfig.compose_max_trials, default 100) so the paste-count
+        # distribution matches
+        trials = (self.cfg.compose_max_trials if trials is None
+                  else trials)
 
         def one(key, bgs, lib):
             k1, k2, k3, k4 = random.split(key, 4)

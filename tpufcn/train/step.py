@@ -215,10 +215,19 @@ def make_multi_train_step(model,
 
 
 def stack_batches(batches):
-    """[{k: (B, ...)}] -> {k: (N, B, ...)} for multi-step dispatch."""
+    """[{k: (B, ...)}] -> {k: (N, B, ...)} for multi-step dispatch.
+
+    Device-resident batches (e.g. from DeviceCompositePipeline) stack
+    ON device — np.stack would silently pull them to the host and pay a
+    D2H + H2D round trip per dispatch."""
     import numpy as np
     keys = batches[0].keys()
-    return {k: np.stack([b[k] for b in batches]) for k in keys}
+    out = {}
+    for k in keys:
+        vals = [b[k] for b in batches]
+        out[k] = (jnp.stack(vals) if isinstance(vals[0], jax.Array)
+                  else np.stack(vals))
+    return out
 
 
 def init_state(model, cfg: TrainConfig, sample_image_shape,
