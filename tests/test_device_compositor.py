@@ -178,3 +178,14 @@ def test_train_step_integration(dataset):
     for _ in range(2):
         state, metrics = step(state, next(it))
     assert np.isfinite(float(metrics["loss_total"]))
+
+    # multi-step dispatch: Trainer stacks device batches ON device
+    # (stack_batches keeps jax.Arrays resident) and trains from them
+    import dataclasses
+    from tpufcn.train.trainer import Trainer
+    cfg2 = dataclasses.replace(cfg, max_iter=4, snapshot_every=0,
+                               snapshot_dir="/tmp/devcomp_trainer_test")
+    tr = Trainer(cfg2, model=model, steps_per_dispatch=2,
+                 log_sink=lambda s: None)
+    st = tr.fit(iter(pipe), resume=False)
+    assert int(st.step) == 4
