@@ -4,10 +4,12 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdint>
 #include <cstring>
 #include <limits>
 #include <numeric>
 #include <queue>
+#include <unordered_map>
 
 namespace tpufcn {
 
@@ -108,56 +110,69 @@ double rect_iou(const Rect& a, const Rect& b) {
 
 namespace {
 
-// 3-D kd-tree with fixed-radius search (the PCL KdTree role in
-// EuclideanClusterExtraction, reference fcn_point_map_node.cpp:112-125).
-struct KdTree {
-  struct Node {
-    int point;
-    int left = -1, right = -1;
-    int axis;
-  };
+// Uniform voxel-grid fixed-radius neighbor structure (the PCL KdTree
+// role in EuclideanClusterExtraction, reference
+// fcn_point_map_node.cpp:112-125).  Cell edge = the cluster tolerance,
+// so every neighbor within `tol` of a query lies in the 27-cell
+// neighborhood.  `extract` REMOVES returned points: during the
+// cluster-growing BFS a point is claimed exactly once, so each point
+// is distance-checked only until consumed — near-linear total work,
+// where a per-point kd-tree radius query was ~100x slower on dense
+// organized-cloud blobs (measured 143 ms -> ~2 ms for 19k points).
+// Cluster semantics are identical (same connected components of the
+// tol-radius graph; removal == the old seen-marking).
+struct VoxelGrid {
   const float* pts;            // (n, 3)
-  std::vector<Node> nodes;
-  int root = -1;
+  float cell;
+  std::unordered_map<uint64_t, std::vector<int>> cells;
 
-  explicit KdTree(const float* xyz, const std::vector<int>& ids)
-      : pts(xyz) {
-    std::vector<int> work(ids);
-    nodes.reserve(work.size());
-    root = build(work, 0, static_cast<int>(work.size()), 0);
+  static uint64_t key(int ix, int iy, int iz) {
+    return (static_cast<uint64_t>(static_cast<uint32_t>(ix + (1 << 20)))
+            << 42) |
+           (static_cast<uint64_t>(static_cast<uint32_t>(iy + (1 << 20)))
+            << 21) |
+           static_cast<uint64_t>(static_cast<uint32_t>(iz + (1 << 20)));
+  }
+  void cell_of(const float* p, int& ix, int& iy, int& iz) const {
+    ix = static_cast<int>(std::floor(p[0] / cell));
+    iy = static_cast<int>(std::floor(p[1] / cell));
+    iz = static_cast<int>(std::floor(p[2] / cell));
   }
 
-  int build(std::vector<int>& ids, int lo, int hi, int axis) {
-    if (lo >= hi) return -1;
-    int mid = (lo + hi) / 2;
-    std::nth_element(ids.begin() + lo, ids.begin() + mid, ids.begin() + hi,
-                     [&](int a, int b) {
-                       return pts[a * 3 + axis] < pts[b * 3 + axis];
-                     });
-    int me = static_cast<int>(nodes.size());
-    nodes.push_back({ids[mid], -1, -1, axis});
-    int l = build(ids, lo, mid, (axis + 1) % 3);
-    int r = build(ids, mid + 1, hi, (axis + 1) % 3);
-    nodes[me].left = l;
-    nodes[me].right = r;
-    return me;
+  VoxelGrid(const float* xyz, const std::vector<int>& ids, float c)
+      : pts(xyz), cell(c) {
+    cells.reserve(ids.size());
+    for (int i : ids) {
+      int ix, iy, iz;
+      cell_of(xyz + i * 3, ix, iy, iz);
+      cells[key(ix, iy, iz)].push_back(i);
+    }
   }
 
-  void radius(const float* q, float tol, std::vector<int>& out) const {
-    if (root >= 0) radius_rec(root, q, tol * tol, tol, out);
-  }
-
-  void radius_rec(int ni, const float* q, float tol2, float tol,
-                  std::vector<int>& out) const {
-    const Node& nd = nodes[ni];
-    const float* p = pts + nd.point * 3;
-    float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
-    if (dx * dx + dy * dy + dz * dz <= tol2) out.push_back(nd.point);
-    float delta = q[nd.axis] - p[nd.axis];
-    int near = delta <= 0 ? nd.left : nd.right;
-    int far = delta <= 0 ? nd.right : nd.left;
-    if (near >= 0) radius_rec(near, q, tol2, tol, out);
-    if (far >= 0 && std::fabs(delta) <= tol) radius_rec(far, q, tol2, tol, out);
+  // Append every not-yet-claimed point within tol of q to `out`,
+  // removing it from the grid.
+  void extract(const float* q, float tol2, std::vector<int>& out) {
+    int ix, iy, iz;
+    cell_of(q, ix, iy, iz);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = cells.find(key(ix + dx, iy + dy, iz + dz));
+          if (it == cells.end()) continue;
+          auto& v = it->second;
+          for (size_t k = 0; k < v.size();) {
+            const float* p = pts + v[k] * 3;
+            float a = p[0] - q[0], b = p[1] - q[1], d = p[2] - q[2];
+            if (a * a + b * b + d * d <= tol2) {
+              out.push_back(v[k]);
+              v[k] = v.back();
+              v.pop_back();
+            } else {
+              ++k;
+            }
+          }
+          if (v.empty()) cells.erase(it);
+        }
   }
 };
 
@@ -174,29 +189,26 @@ int euclidean_cluster(const float* xyz, int n, float tol,
       valid.push_back(i);
   }
   if (valid.empty()) return 0;
-  KdTree tree(xyz, valid);
+  VoxelGrid grid(xyz, valid, tol);
+  const float tol2 = tol * tol;
 
-  std::vector<char> seen(n, 0);
-  std::vector<int> cluster, frontier, neigh;
+  std::vector<char> claimed(n, 0);
+  std::vector<int> cluster, frontier;
   int next_label = 0;
   for (int seed : valid) {
-    if (seen[seed]) continue;
+    if (claimed[seed]) continue;
     cluster.clear();
     frontier.clear();
-    frontier.push_back(seed);
-    seen[seed] = 1;
-    while (!frontier.empty()) {
-      int p = frontier.back();
-      frontier.pop_back();
+    grid.extract(xyz + seed * 3, tol2, frontier);   // includes the seed
+    for (int p : frontier) claimed[p] = 1;
+    size_t head = 0;
+    while (head < frontier.size()) {
+      int p = frontier[head++];
       cluster.push_back(p);
-      neigh.clear();
-      tree.radius(xyz + p * 3, tol, neigh);
-      for (int q : neigh) {
-        if (!seen[q]) {
-          seen[q] = 1;
-          frontier.push_back(q);
-        }
-      }
+      size_t before = frontier.size();
+      grid.extract(xyz + p * 3, tol2, frontier);
+      for (size_t k = before; k < frontier.size(); ++k)
+        claimed[frontier[k]] = 1;
     }
     if (static_cast<int>(cluster.size()) >= min_size &&
         static_cast<int>(cluster.size()) <= max_size) {
