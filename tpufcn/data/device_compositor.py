@@ -34,7 +34,7 @@ deviations (PARITY.md "Known deviations"):
     cv.INTER_CUBIC / INTER_NEAREST;
   * the photometric OneOf's median-blur arm becomes a second box-blur
     arm (a data-dependent-rank selection network per pixel buys nothing
-    for an augmentation), and blur kernels use a fixed 9-tap support;
+    for an augmentation);
   * the single-box zoom-crop follows the reference's window law
     (both axes grow by e1 + e2, e1 ~ U(1, floor(W/w)),
     e2 ~ U(1, floor(H/h)), jittered center — so the window is at least
@@ -330,7 +330,9 @@ def _photometric(key, img):
 
     ks = random.split(key, 9)
     kind = random.randint(ks[0], (), 0, 3)
-    r = jnp.arange(-4, 5, dtype=jnp.float32)
+    # 19-tap support covers the cv gaussian at sigma 3 (radius ~9) and
+    # every box width the OneOf can draw
+    r = jnp.arange(-9, 10, dtype=jnp.float32)
     sigma = random.uniform(ks[1], (), minval=0.0, maxval=3.0)
     gk = jnp.exp(-0.5 * jnp.square(r / jnp.maximum(sigma, 1e-3)))
     gk = jnp.where(sigma > 1e-3, gk / jnp.sum(gk),
