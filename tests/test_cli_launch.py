@@ -516,3 +516,35 @@ def test_launch_tool_nodes(tmp_path, rng):
     # the capture node shared the graph: two frames written
     assert len(read_detection_manifest(
         str(tmp_path / "cap" / "train.txt"))) == 2
+
+
+def test_cli_train_inspect_data(tmp_path, rng, capsys):
+    """--inspect-data: data dry-run writes the first batch as
+    rect-overlay PNGs + seg masks and exits without training (the
+    reference's DataArgumentationTestLayer debug view, GUI-less)."""
+    from tpufcn.cli import main
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 100, (64, 64, 3)).astype(np.uint8)
+            msk = np.zeros((64, 64), np.uint8)
+            msk[10:40, 12:44] = 255
+            img[10:40, 12:44] = (210, 50, 60)
+            ip, mp = str(tmp_path / f"i{i}.png"), str(tmp_path / f"m{i}.png")
+            cv.imwrite(ip, img)
+            cv.imwrite(mp, msk)
+            f.write(f"{ip} {mp} 1 12 10 32 30\n")
+            f.write("ignored\n")
+    out_dir = tmp_path / "inspect"
+    main(["train", "--recipe", "bounding_box", "--manifest", man,
+          "--batch-size", "2", "--inspect-data", str(out_dir)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["images"] == 2 and rec["with_seg"]
+    pngs = sorted(p.name for p in out_dir.iterdir())
+    assert pngs == ["b0_00.png", "b0_00_seg.png",
+                    "b0_01.png", "b0_01_seg.png"]
+    seg = cv.imread(str(out_dir / "b0_00_seg.png"), cv.IMREAD_GRAYSCALE)
+    assert seg.max() == 255 and seg.min() == 0   # object + background
+    # no snapshots were written (dry-run exits before training)
+    assert not (tmp_path / "snapshots").exists()

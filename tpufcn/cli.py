@@ -103,6 +103,39 @@ def _cmd_train(args):
         else:
             pipe = CompositeTrainPipeline(samples, cfg.grid, cfg.data,
                                           backgrounds=args.backgrounds)
+    if args.inspect_data:
+        # data dry-run: dump the first batch as rect-overlay PNGs (+ seg
+        # masks) and exit — the reference eyeballed its augmentation with
+        # a debug imshow layer (DataArgumentationTestLayer,
+        # data_argumentation_layer.py:376-396, and the engines' debug
+        # flags); this is the GUI-less analog
+        import os
+
+        import cv2 as cv
+        import numpy as np
+        from tpufcn.serve.viz import draw_detections
+        os.makedirs(args.inspect_data, exist_ok=True)
+        batch = next(iter(pipe))
+        imgs = np.asarray(batch["image"])
+        rects = np.asarray(batch["rects"])
+        labels = np.asarray(batch["labels"])
+        valid = np.asarray(batch["valid"])
+        seg = np.asarray(batch["seg"]) if "seg" in batch else None
+        for i in range(imgs.shape[0]):
+            dets = [([r[0], r[1], r[0] + r[2], r[1] + r[3]], int(l), 1.0)
+                    for r, l, v in zip(rects[i], labels[i], valid[i]) if v]
+            cv.imwrite(os.path.join(args.inspect_data, f"b0_{i:02d}.png"),
+                       draw_detections(imgs[i], dets))
+            if seg is not None:
+                hi = max(int(seg[i].max()), 1)
+                cv.imwrite(
+                    os.path.join(args.inspect_data, f"b0_{i:02d}_seg.png"),
+                    (seg[i].astype(np.float32) * (255.0 / hi))
+                    .astype(np.uint8))
+        print(json.dumps({"inspect_data": args.inspect_data,
+                          "images": int(imgs.shape[0]),
+                          "with_seg": seg is not None}))
+        return
     if args.cache > 0:
         # device-resident epoch cache: compose/read N batches once,
         # upload once, train epochs from HBM (see DeviceBatchCache)
@@ -519,6 +552,11 @@ def main(argv=None):
     t.add_argument("--snapshot-dir", default=None)
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")
+    t.add_argument("--inspect-data", default=None, metavar="DIR",
+                   help="data dry-run: write the first batch as "
+                        "rect-overlay PNGs (+ seg masks) to DIR and "
+                        "exit without training (the reference's debug "
+                        "imshow layer, GUI-less)")
     t.add_argument("--device-data", action="store_true",
                    help="compose scenes ON the accelerator (one jitted "
                         "dispatch per batch, zero per-step host work; "
