@@ -281,6 +281,46 @@ def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
         del recipes.RECIPES["_tiny_cli_test"]
 
 
+def test_cli_train_iter_size(tmp_path, rng, capsys):
+    """--iter-size wires Caffe gradient accumulation end-to-end through
+    the CLI (reference solver knob, train/bounding_box/solver.prototxt:5):
+    every solver iteration consumes iter_size pipeline micro-batches."""
+    import dataclasses
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(4):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.uint8)
+            img[12:44, 10:34] = (220, 40, 90)
+            ip = str(tmp_path / f"i{i}.png")
+            cv.imwrite(ip, img)
+            f.write(f"{ip} 10 12 24 32 1\n")
+    prefix = str(tmp_path / "rec/ds")
+    main(["records", "--manifest", man, "--out", prefix])
+
+    def _tiny(**o):
+        cfg = TrainConfig(
+            grid=GridConfig(64, 64, stride=8, num_classes=11),
+            data=DataConfig(batch_size=2), model="vgg_detectnet_train",
+            optimizer="adam", learning_rate=1e-4, max_iter=2,
+            snapshot_every=0, log_every=1)
+        return dataclasses.replace(cfg, **o)
+
+    recipes.RECIPES["_tiny_iter_cli_test"] = _tiny
+    snap = str(tmp_path / "snap")
+    try:
+        main(["train", "--recipe", "_tiny_iter_cli_test", "--records",
+              prefix, "--snapshot-dir", snap, "--iter-size", "2",
+              "--max-iter", "1"])
+        out = capsys.readouterr().out
+        assert "trained to step 1" in out
+    finally:
+        del recipes.RECIPES["_tiny_iter_cli_test"]
+
+
 def test_cli_eval_seg_mean_iou(tmp_path, rng, capsys):
     """eval --format seg: mask-manifest -> FCN forward -> mean IoU
     (the seg-family analog of the detection mAP path)."""

@@ -189,3 +189,87 @@ def test_with_seg_requires_seg_batch(rng):
     }
     with pytest.raises(ValueError, match="no 'seg' masks"):
         step(state, batch)
+
+
+def test_iter_size_matches_manual_grad_average(rng):
+    """Caffe iter_size semantics oracle (reference
+    train/bounding_box/solver.prototxt:5): one update from the MEAN of
+    the per-micro-batch gradients, each micro-batch with its own
+    dropout rng drawn from the step's split schedule."""
+    from tpufcn.train.step import make_loss_fn, make_grads_fn, stack_batches
+
+    cfg = _tiny_cfg(iter_size=2)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    b1 = {k: jnp.asarray(v) for k, v in _batch(rng, 2, 64, 64).items()}
+    b2 = {k: jnp.asarray(v) for k, v in _batch(rng, 2, 64, 64).items()}
+
+    # manual: two independent grads at the SAME params, averaged —
+    # computed BEFORE the jitted step donates the state buffers
+    loss_fn = make_loss_fn(model, cfg)
+    rng0, _ = jax.random.split(state.dropout_rng)
+    r = jax.random.split(rng0, 2)
+    g1, m1 = jax.grad(loss_fn, has_aux=True)(state.params, b1, r[0])
+    g2, m2 = jax.grad(loss_fn, has_aux=True)(state.params, b2, r[1])
+    want_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    want_loss = (float(m1["loss_total"]) + float(m2["loss_total"])) / 2
+    want_kernel = np.asarray(jax.tree_util.tree_map(
+        lambda p, g: p, state.params, want_g)
+        ["params"]["cvg/classifier"]["conv"]["kernel"]).copy()
+    # reference update through the same optimizer
+    ref_state = init_state(model, cfg, (1, 64, 64, 3))
+    ref_state = ref_state.apply_gradients(grads=want_g)
+    ref_kernel = np.asarray(
+        ref_state.params["params"]["cvg/classifier"]["conv"]["kernel"])
+
+    # accumulated grads_fn equals the manual average exactly
+    gfn = make_grads_fn(loss_fn, 2)
+    acc_g, acc_m = gfn(state.params, stack_batches([b1, b2]),
+                       rng0)
+    for a, b in zip(jax.tree_util.tree_leaves(acc_g),
+                    jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(acc_m["loss_total"]), want_loss,
+                               rtol=1e-5)
+
+    # the full jitted step applies that averaged gradient
+    step = make_train_step(model, cfg)
+    state2, metrics = step(state, stack_batches([b1, b2]))
+    assert int(state2.step) == 1
+    got_kernel = np.asarray(
+        state2.params["params"]["cvg/classifier"]["conv"]["kernel"])
+    np.testing.assert_allclose(got_kernel, ref_kernel, rtol=1e-4,
+                               atol=1e-7)
+    assert np.abs(got_kernel - want_kernel).sum() > 0  # params moved
+
+
+def test_iter_size_sharded_mesh(rng):
+    """iter_size accumulation over the (4,2) DP+spatial mesh: leading
+    micro-batch axis replicated, inner axes batch-sharded."""
+    from tpufcn.train.step import stack_batches
+
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    cfg = _tiny_cfg(iter_size=2, mesh=MeshConfig(data=4, space=2))
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    state = init_state(model, cfg, (1, 64, 64, 3))
+    step = make_train_step(model, cfg, mesh=mesh)
+    b1 = _batch(rng, 8, 64, 64)
+    b2 = _batch(rng, 8, 64, 64)
+    stacked = stack_batches([b1, b2])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = batch_sharding(mesh)
+    b = {k: jax.device_put(jnp.asarray(v),
+                           NamedSharding(mesh, P(None, *sh[k].spec)))
+         for k, v in stacked.items()}
+    state2, metrics = step(state, b)
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(state2.step) == 1
+
+
+def test_iter_size_multi_step_rejected():
+    cfg = _tiny_cfg(iter_size=2)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    from tpufcn.train.step import make_multi_train_step
+    with pytest.raises(ValueError, match="iter_size"):
+        make_multi_train_step(model, cfg)

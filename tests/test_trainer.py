@@ -112,3 +112,52 @@ def test_trainer_fit_from_parallel_pipeline(tmp_path, tiny_dataset):
             workers=2, depth=2, seed=5) as pipe:
         state = tr.fit(iter(pipe), max_iter=2)
     assert int(state.step) == 2
+
+
+def test_trainer_iter_size_groups_micro_batches(tmp_path, tiny_dataset):
+    """iter_size=2: each solver iteration consumes TWO pipeline
+    micro-batches and performs one update (Caffe iter_size semantics);
+    a source exhausting mid-iteration drops the partial group."""
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=2), iter_size=2,
+        snapshot_every=0, max_iter=2,
+        snapshot_dir=str(tmp_path / "snap"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    pipe = CompositeTrainPipeline(tiny_dataset, grid,
+                                  DataConfig(batch_size=2), box_capacity=4)
+    drawn = []
+
+    def counted():
+        for b in pipe:
+            drawn.append(1)
+            yield b
+
+    lines = []
+    tr = Trainer(cfg, model=model, log_sink=lines.append)
+    state = tr.fit(counted(), max_iter=2)
+    assert int(state.step) == 2          # 2 updates...
+    assert sum(drawn) == 4               # ...from 4 micro-batches
+    assert any("loss=" in l for l in lines)
+
+    # partial final group: 3 micro-batches at iter_size 2 -> 1 update
+    def three():
+        it = iter(pipe)
+        for _ in range(3):
+            yield next(it)
+
+    tr2 = Trainer(cfg, model=model, log_sink=lines.append)
+    state2 = tr2.fit(three(), max_iter=50, resume=False)
+    assert int(state2.step) == 1
+    assert any("mid-iteration" in l for l in lines)
+
+
+def test_trainer_iter_size_with_multistep_rejected(tmp_path):
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
+                      data=DataConfig(batch_size=2), iter_size=2,
+                      snapshot_dir=str(tmp_path / "snap"))
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    with pytest.raises(ValueError, match="iter_size"):
+        Trainer(cfg, model=model, steps_per_dispatch=2)

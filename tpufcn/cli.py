@@ -45,6 +45,8 @@ def _cmd_train(args):
                                           batch_size=args.batch_size))
     if args.snapshot_dir:
         cfg = dataclasses.replace(cfg, snapshot_dir=args.snapshot_dir)
+    if args.iter_size and args.iter_size != 1:
+        cfg = dataclasses.replace(cfg, iter_size=args.iter_size)
 
     if not args.records and not args.manifest:
         raise SystemExit("one of --manifest or --records is required")
@@ -549,6 +551,10 @@ def main(argv=None):
     t.add_argument("--backgrounds", nargs="*", default=None)
     t.add_argument("--max-iter", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--iter-size", type=int, default=1,
+                   help="Caffe solver gradient accumulation: one "
+                        "optimizer update per N micro-batches (update = "
+                        "mean gradient; effective batch = N*batch-size)")
     t.add_argument("--snapshot-dir", default=None)
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")

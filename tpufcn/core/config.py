@@ -142,6 +142,12 @@ class TrainConfig:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     model: str = "vgg_detectnet_train"
     optimizer: str = "adam"            # "adam" | "sgd"
+    # Caffe solver gradient accumulation (reference
+    # train/bounding_box/solver.prototxt:5 carries ``iter_size: 1``):
+    # one optimizer update per ``iter_size`` micro-batches, update =
+    # mean of the per-micro-batch gradients — effective batch =
+    # iter_size x data.batch_size without growing the device working set.
+    iter_size: int = 1
     learning_rate: float = 1e-4
     lr_decay_step: int = 10000         # step lr schedule: gamma every N iters
     lr_gamma: float = 0.1

@@ -130,6 +130,45 @@ def make_loss_fn(model, cfg: TrainConfig, with_seg: bool = False,
     return loss_fn
 
 
+def make_grads_fn(loss_fn: Callable, iter_size: int = 1) -> Callable:
+    """(params, batch, rng) -> (grads, metrics).
+
+    ``iter_size == 1``: one ``jax.grad`` over the (B, ...) batch.
+
+    ``iter_size > 1``: Caffe solver gradient accumulation (the
+    ``iter_size`` knob the reference solvers carry at 1,
+    train/bounding_box/solver.prototxt:5).  Batch leaves carry a leading
+    (iter_size, B, ...) micro-batch axis; a ``lax.scan`` accumulates the
+    per-micro-batch gradients ON DEVICE (one grad-tree of live memory,
+    not ``iter_size`` of them) and the update uses their MEAN — Caffe's
+    ``Solver::Normalize`` divides accumulated diffs by iter_size — so
+    effective batch = iter_size x batch_size with one optimizer update.
+    Each micro-batch draws its own dropout rng; metrics come back
+    averaged over the micro-batches (the solver's displayed iteration
+    loss).
+    """
+    if iter_size <= 1:
+        def grads_fn(params, batch, rng):
+            return jax.grad(loss_fn, has_aux=True)(params, batch, rng)
+        return grads_fn
+
+    def grads_fn(params, batch, rng):
+        rngs = jax.random.split(rng, iter_size)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(gsum, xs):
+            micro, r = xs
+            g, m = jax.grad(loss_fn, has_aux=True)(params, micro, r)
+            return jax.tree_util.tree_map(jnp.add, gsum, g), m
+
+        gsum, ms = jax.lax.scan(body, zeros, (batch, rngs))
+        grads = jax.tree_util.tree_map(lambda x: x / iter_size, gsum)
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
+        return grads, metrics
+
+    return grads_fn
+
+
 def make_train_step(model,
                     cfg: TrainConfig,
                     mesh: Optional[Mesh] = None,
@@ -147,15 +186,19 @@ def make_train_step(model,
       labels: (B, M) int32 class ids
       valid: (B, M) bool
       seg:   (B, H, W) int32 mask (only when with_seg)
+
+    With ``cfg.iter_size > 1`` every leaf gains a leading
+    (iter_size, ...) micro-batch axis and the step performs Caffe
+    gradient accumulation (see ``make_grads_fn``).
     """
     loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
                            preprocessing=preprocessing,
                            label_offset=label_offset)
+    grads_fn = make_grads_fn(loss_fn, cfg.iter_size)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.dropout_rng)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+        grads, metrics = grads_fn(state.params, batch, rng)
         new_state = state.apply_gradients(grads=grads, dropout_rng=new_rng)
         return new_state, metrics
 
@@ -164,7 +207,8 @@ def make_train_step(model,
 
     repl = NamedSharding(mesh, P())
     bsh = batch_sharding(mesh)
-    in_batch = {k: bsh[k] for k in
+    lead = (None,) if cfg.iter_size > 1 else ()
+    in_batch = {k: NamedSharding(mesh, P(*lead, *bsh[k].spec)) for k in
                 (["image", "rects", "labels", "valid"]
                  + (["seg"] if with_seg else []))}
     return jax.jit(
@@ -189,6 +233,11 @@ def make_multi_train_step(model,
     pathological through remote-TPU tunnels, non-trivial everywhere).
     Metrics come back stacked (N,) per key.
     """
+    if cfg.iter_size > 1:
+        raise ValueError(
+            "iter_size > 1 is not supported with multi-step dispatch "
+            "(steps_per_dispatch > 1): pick gradient accumulation OR "
+            "step batching per dispatch")
     loss_fn = make_loss_fn(model, cfg, with_seg=with_seg,
                            preprocessing=preprocessing,
                            label_offset=label_offset)

@@ -134,6 +134,10 @@ class Trainer:
                 f"background_channel={bg}: only channel 0 is supported "
                 "as the background (the label-offset convention)")
         label_offset = 1 if bg is not None else 0
+        if cfg.iter_size > 1 and self.steps_per_dispatch > 1:
+            raise ValueError(
+                "iter_size > 1 cannot combine with steps_per_dispatch > 1 "
+                "(gradient accumulation vs. multi-step dispatch — pick one)")
         if self.steps_per_dispatch > 1:
             from tpufcn.train.step import make_multi_train_step
             self.step_fn = make_multi_train_step(
@@ -242,7 +246,27 @@ class Trainer:
                 batch = next(it)
             except StopIteration:
                 break
-            prestacked = getattr(batch["image"], "ndim", 0) == 5
+            if cfg.iter_size > 1 and getattr(batch["image"], "ndim", 0) == 4:
+                # Caffe iter_size: one solver iteration consumes
+                # iter_size micro-batches (accumulated on device by the
+                # step — see make_grads_fn).  Draw the rest of this
+                # iteration's micro-batches and stack them to
+                # (iter_size, B, ...); sources may also yield
+                # pre-stacked (iter_size, B, ...) groups directly.
+                micros = [batch]
+                try:
+                    for _ in range(cfg.iter_size - 1):
+                        micros.append(next(it))
+                except StopIteration:
+                    self.logger.sink(
+                        f"note: source exhausted mid-iteration — "
+                        f"{len(micros)} micro-batch(es) short of "
+                        f"iter_size {cfg.iter_size} were not trained")
+                    break
+                from tpufcn.train.step import stack_batches
+                batch = stack_batches(micros)
+            prestacked = (cfg.iter_size == 1
+                          and getattr(batch["image"], "ndim", 0) == 5)
             if prestacked and batch["image"].shape[0] != n_multi:
                 raise ValueError(
                     f"pre-stacked batch carries {batch['image'].shape[0]} "
@@ -273,8 +297,12 @@ class Trainer:
                     # one-batch cache: unstack the leading length-1 axis
                     b = {k: v[0] for k, v in batch.items()}
                 else:
-                    b = self.put(batch)
+                    # iter_size groups carry a leading replicated
+                    # micro-batch axis — shard like stacked batches
+                    b = self.put(batch, stacked=cfg.iter_size > 1)
                 bs = b["image"].shape[0]
+                if cfg.iter_size > 1:
+                    bs *= b["image"].shape[1]   # images per iteration
                 state, metrics = self.step_fn(state, b)
                 step += 1
                 self.logger.update(step, metrics, bs)
