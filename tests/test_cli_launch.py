@@ -281,6 +281,62 @@ def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
         del recipes.RECIPES["_tiny_cli_test"]
 
 
+def test_cli_train_weights_finetune_init(tmp_path, rng, capsys):
+    """train --weights seeds step-0 params for fine-tuning (the
+    reference's `caffe train --weights VGG_ILSVRC_16_layers.caffemodel`,
+    train/train.sh:26).  lr=0 makes the seeding observable: the trained
+    snapshot must carry exactly the seeded params."""
+    import dataclasses
+    import jax
+    from tpufcn import recipes
+    from tpufcn.cli import main
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.train.trainer import Trainer, load_snapshot_params
+
+    man = str(tmp_path / "train.txt")
+    with open(man, "w") as f:
+        for i in range(2):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.uint8)
+            img[12:44, 10:34] = (220, 40, 90)
+            ip = str(tmp_path / f"i{i}.png")
+            cv.imwrite(ip, img)
+            f.write(f"{ip} 10 12 24 32 1\n")
+    prefix = str(tmp_path / "rec/ds")
+    main(["records", "--manifest", man, "--out", prefix])
+
+    def _tiny(**o):
+        cfg = TrainConfig(
+            grid=GridConfig(64, 64, stride=8, num_classes=11),
+            data=DataConfig(batch_size=2), model="vgg_detectnet_train",
+            optimizer="adam", learning_rate=0.0, max_iter=1,
+            snapshot_every=0, log_every=1)
+        return dataclasses.replace(cfg, **o)
+
+    # seed snapshot: a distinctively-initialized state saved by a Trainer
+    seed_dir = str(tmp_path / "seed")
+    tr = Trainer(_tiny(snapshot_dir=seed_dir))
+    seed_state = tr.init_state()
+    seed_state = seed_state.replace(params=jax.tree_util.tree_map(
+        lambda p: p + 0.125, seed_state.params))
+    tr.save(seed_state)
+
+    recipes.RECIPES["_tiny_w_cli_test"] = _tiny
+    snap = str(tmp_path / "snap")
+    try:
+        main(["train", "--recipe", "_tiny_w_cli_test", "--records",
+              prefix, "--snapshot-dir", snap, "--weights", seed_dir,
+              "--max-iter", "1"])
+        assert "trained to step 1" in capsys.readouterr().out
+    finally:
+        del recipes.RECIPES["_tiny_w_cli_test"]
+
+    got = jax.tree_util.tree_leaves(load_snapshot_params(snap))
+    want = jax.tree_util.tree_leaves(seed_state.params)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):   # lr=0 -> params == the seeded init
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cli_train_iter_size(tmp_path, rng, capsys):
     """--iter-size wires Caffe gradient accumulation end-to-end through
     the CLI (reference solver knob, train/bounding_box/solver.prototxt:5):

@@ -148,7 +148,20 @@ def _cmd_train(args):
     else:
         trainer = Trainer(cfg, with_seg=with_seg)
         src = iter(pipe)
-    state = trainer.fit(src)
+    state = None
+    if args.weights:
+        # fine-tune init (the reference's `caffe train --weights
+        # VGG_ILSVRC_16_layers.caffemodel`, train/train.sh:26): seed
+        # step-0 params from a .caffemodel (lenient, by-name — layers
+        # absent from the file keep their random init, Caffe's copy-by-
+        # layer-name semantics) or a Trainer orbax snapshot dir.  A
+        # resumable snapshot in cfg.snapshot_dir still wins (solver
+        # resume beats weight seeding, as in Caffe --snapshot).
+        from tpufcn.convert import resolve_weights
+        state = trainer.init_state()
+        state = state.replace(params=resolve_weights(
+            args.weights, lambda: state.params))
+    state = trainer.fit(src, state=state)
     print(f"trained to step {int(state.step)}; snapshots in "
           f"{cfg.snapshot_dir}")
 
@@ -556,6 +569,12 @@ def main(argv=None):
                         "optimizer update per N micro-batches (update = "
                         "mean gradient; effective batch = N*batch-size)")
     t.add_argument("--snapshot-dir", default=None)
+    t.add_argument("--weights", default=None,
+                   help="initial weights for fine-tuning (the reference's "
+                        "`caffe train --weights`, train/train.sh:26): a "
+                        ".caffemodel file (lenient by-name load) or a "
+                        "Trainer snapshot directory; an existing snapshot "
+                        "in --snapshot-dir still resumes over this")
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")
     t.add_argument("--inspect-data", default=None, metavar="DIR",
