@@ -29,11 +29,14 @@ import numpy as np
 ITERS = 20
 
 
-def _time_loop(infer, params, frames, iters=ITERS, reps=3):
+def _time_loop(infer, params, frames, iters=ITERS, reps=6):
     """On-device lax.scan loop with a chained data dependency; host-side
     per-dispatch timing is unreliable through the remote-TPU tunnel
     (see CLAUDE.md), so one dispatch covers `iters` full passes and a
-    final value fetch forces completion.  Min over reps."""
+    final value fetch forces completion.  Min over reps (each rep is a
+    fresh dispatch; more reps only tighten the min against tunnel/system
+    noise — within-process spread is <1%, but single dispatches can be
+    unlucky)."""
     import jax
     import jax.numpy as jnp
 
