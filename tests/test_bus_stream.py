@@ -234,3 +234,39 @@ def test_replay_throughput_counts_tail(rng):
     assert out["frames"] == 3
     out_small = replay_throughput(det, frames[:1], micro_batch=2)
     assert out_small["frames"] == 1
+
+
+def test_video_frame_source(tmp_path):
+    """Video-file frame source (the offline analog of the reference's
+    live camera topic, fcn_object_detector.py:330-331): frames decode
+    BGR with source timestamps; stride decimates but keeps source
+    stamps; max_frames bounds the yield count."""
+    import cv2 as cv
+    from tpufcn.serve.video import iter_video_frames, read_video_frames
+
+    path = str(tmp_path / "cam.avi")
+    w = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"MJPG"), 10.0,
+                       (64, 48))
+    assert w.isOpened()
+    for i in range(7):
+        w.write(np.full((48, 64, 3), i * 30, np.uint8))
+    w.release()
+
+    frames, stamps = read_video_frames(path)
+    assert len(frames) == 7
+    assert frames[0].shape == (48, 64, 3) and frames[0].dtype == np.uint8
+    # MJPG is lossy but flat frames survive closely
+    assert abs(int(frames[3].mean()) - 90) <= 2
+    assert stamps == pytest.approx([i / 10.0 for i in range(7)])
+
+    dec, dstamps = read_video_frames(path, stride=3)
+    assert len(dec) == 3                       # frames 0, 3, 6
+    assert dstamps == pytest.approx([0.0, 0.3, 0.6])
+
+    capped = list(iter_video_frames(path, max_frames=2))
+    assert len(capped) == 2
+
+    with pytest.raises(FileNotFoundError):
+        read_video_frames(str(tmp_path / "missing.avi"))
+    with pytest.raises(ValueError):
+        read_video_frames(path, stride=0)

@@ -644,3 +644,25 @@ def test_cli_train_inspect_data(tmp_path, rng, capsys):
     assert seg.max() == 255 and seg.min() == 0   # object + background
     # no snapshots were written (dry-run exits before training)
     assert not (tmp_path / "snapshots").exists()
+
+
+def test_cli_replay_video(tmp_path, rng, capsys):
+    """`replay --video` = camera-recording input: the offline analog of
+    the reference's live camera subscription
+    (fcn_object_detector.py:330-331) — decoded frames stream through
+    the bus exactly like image files."""
+    path = str(tmp_path / "cam.avi")
+    w = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"MJPG"), 5.0,
+                       (448, 448))
+    assert w.isOpened()
+    for _ in range(4):
+        w.write(rng.integers(0, 256, (448, 448, 3)).astype(np.uint8))
+    w.release()
+    from tpufcn.cli import main
+    main(["replay", "--video", path, "--video-stride", "2",
+          "--model", "googlenet_detectnet_1cls"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"frames_processed": 2}   # 4 frames, stride 2
+    with pytest.raises(SystemExit):               # images XOR --video
+        main(["replay", str(tmp_path / "f.png"), "--video", path])

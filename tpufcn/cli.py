@@ -386,11 +386,20 @@ def _cmd_replay(args):
     import cv2 as cv
     import numpy as np
 
-    frames = []
-    for p in args.images:
-        img = cv.imread(p)
-        if img is not None:
-            frames.append(img)
+    if args.video and args.images:
+        raise SystemExit("give image files OR --video, not both")
+    if args.video:
+        # camera-recording input: the offline analog of the reference's
+        # live camera topic (fcn_object_detector.py:330-331)
+        from tpufcn.serve.video import read_video_frames
+        frames, _ = read_video_frames(args.video, stride=args.video_stride,
+                                      max_frames=args.max_frames or None)
+    else:
+        frames = []
+        for p in args.images:
+            img = cv.imread(p)
+            if img is not None:
+                frames.append(img)
     if not frames:
         raise SystemExit("no readable frames")
 
@@ -470,13 +479,27 @@ def _cmd_launch(args):
         spec = json.load(f)
     graph = launch(spec)
     published = 0
-    if args.frames:
-        for i, path in enumerate(args.frames):
-            img = cv.imread(path)
-            if img is None:
-                print(f"{path}: unreadable", file=sys.stderr)
-                continue
-            graph.bus.publish(args.topic, img, stamp=float(i))
+    if args.frames and args.video:
+        raise SystemExit("give --frames OR --video, not both")
+    if args.frames or args.video:
+        if args.video:
+            # camera recording -> topic stream with source timestamps,
+            # so stamp-based synchronizers see real capture cadence
+            from tpufcn.serve.video import iter_video_frames
+            source = iter_video_frames(args.video,
+                                       stride=args.video_stride,
+                                       max_frames=args.max_frames or None)
+        else:
+            def _read_frames():
+                for i, path in enumerate(args.frames):
+                    img = cv.imread(path)
+                    if img is None:
+                        print(f"{path}: unreadable", file=sys.stderr)
+                        continue
+                    yield float(i), img
+            source = _read_frames()
+        for stamp, img in source:
+            graph.bus.publish(args.topic, img, stamp=stamp)
             graph.spin()
             published += 1
         for node in graph.nodes.values():
@@ -661,7 +684,14 @@ def main(argv=None):
     e.set_defaults(fn=_cmd_eval)
 
     rp = sub.add_parser("replay")
-    rp.add_argument("images", nargs="+")
+    rp.add_argument("images", nargs="*")
+    rp.add_argument("--video", default=None,
+                    help="video file as the frame source (the offline "
+                         "analog of the reference's live camera topic)")
+    rp.add_argument("--video-stride", type=int, default=1,
+                    help="keep every Nth video frame")
+    rp.add_argument("--max-frames", type=int, default=0,
+                    help="cap the number of video frames (0 = all)")
     rp.add_argument("--model", default="googlenet_detectnet")
     rp.add_argument("--weights", default=None)
     rp.add_argument("--micro-batch", type=int, default=0,
@@ -702,6 +732,13 @@ def main(argv=None):
                                   "(see examples/*.launch.json)")
     ln.add_argument("--frames", nargs="*", default=None,
                     help="image files to publish through the graph")
+    ln.add_argument("--video", default=None,
+                    help="video file to publish through the graph "
+                         "(frames stamped with source capture times)")
+    ln.add_argument("--video-stride", type=int, default=1,
+                    help="keep every Nth video frame")
+    ln.add_argument("--max-frames", type=int, default=0,
+                    help="cap the number of video frames (0 = all)")
     ln.add_argument("--topic", default="image",
                     help="topic the frames are published on")
     ln.add_argument("--spin", type=int, default=1,
