@@ -161,3 +161,17 @@ def test_trainer_iter_size_with_multistep_rejected(tmp_path):
     model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
     with pytest.raises(ValueError, match="iter_size"):
         Trainer(cfg, model=model, steps_per_dispatch=2)
+
+
+def test_trainer_refuses_fp8_serving_models(tmp_path):
+    """fp8 activation storage is serving-only: differentiating through
+    the e5m2 converts crashes the remote TPU compiler (BENCH.md
+    negative), so Trainer must refuse store_dtype models with a clear
+    error instead of an opaque remote-compiler signal 6."""
+    cfg = TrainConfig(
+        grid=GridConfig(im_width=64, im_height=64, stride=8, num_classes=2),
+        model="googlenet_detectnet_serving",
+        snapshot_dir=str(tmp_path / "snap"))
+    model = build("googlenet_detectnet_serving")
+    with pytest.raises(ValueError, match="serving-only"):
+        Trainer(cfg, model=model, log_sink=lambda s: None)

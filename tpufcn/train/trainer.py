@@ -114,6 +114,18 @@ class Trainer:
                  log_sink: Callable[[str], None] = print):
         self.cfg = cfg
         self.model = model or build_model(cfg.model)
+        if getattr(self.model, "store_dtype", None) is not None:
+            # measured hard negative (BENCH.md): differentiating through
+            # fp8 activation-storage converts CRASHES the remote TPU
+            # compiler (pipeline_emitter.cc chunk-size check, signal 6).
+            # The *_serving registry presets are inference-only; train
+            # the exact model and serve its snapshot with the preset.
+            raise ValueError(
+                f"model '{cfg.model}' has store_dtype="
+                f"{self.model.store_dtype}: fp8 activation storage is a "
+                "serving-only mode (its backward pass crashes the TPU "
+                "compiler) — train the exact model; snapshots "
+                "interchange with the serving preset")
         self.with_seg = with_seg
         self.steps_per_dispatch = max(steps_per_dispatch, 1)
         if mesh is None and cfg.mesh.num_devices > 1:
