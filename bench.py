@@ -148,10 +148,13 @@ def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
     """FCN-32s seg (C19) trained on the synthetic compositing dataset
     at its 224x224 deploy geometry, scored with held-out mean-IoU —
     the seg-family analog of _map_synthetic (BASELINE.md row 3).
-    Measured 0.89 mean-IoU / 0.94 pixel accuracy at 2,000 steps."""
+    Measured 0.89 mean-IoU / 0.94 pixel accuracy at 2,000 steps; the
+    e5m2-serving model (fcn32s_seg_serving, same trained params) is
+    scored alongside so the seg serving mode's accuracy is on record."""
     import jax
     import jax.numpy as jnp
     from tpufcn.core.config import GridConfig
+    from tpufcn.models import build
     from tpufcn.ops.image import demean_bgr
     from tpufcn.train.evaluate import evaluate_segmentation
 
@@ -162,16 +165,21 @@ def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
         steps=steps, batch=batch, n_cached=n_cached,
         model_kwargs={"num_classes": C})
 
-    @jax.jit
-    def seg_fwd(p, x):
-        logits = model.apply(
-            p, demean_bgr(jnp.asarray(x, jnp.float32)))["seg"]
-        return jnp.argmax(logits, axis=-1)
+    mious = {}
+    for tag, m in (("exact", model),
+                   ("fp8", build("fcn32s_seg_serving", dtype=jnp.bfloat16,
+                                 num_classes=C))):
+        @jax.jit
+        def seg_fwd(p, x, m=m):
+            logits = m.apply(
+                p, demean_bgr(jnp.asarray(x, jnp.float32)))["seg"]
+            return jnp.argmax(logits, axis=-1)
 
-    preds = np.asarray(seg_fwd(state.params, tb["image"]))
-    res = evaluate_segmentation(list(tb["seg"]), list(preds),
-                                num_classes=C)
-    return round(float(res["mean_iou"]), 4)
+        preds = np.asarray(seg_fwd(state.params, tb["image"]))
+        res = evaluate_segmentation(list(tb["seg"]), list(preds),
+                                    num_classes=C)
+        mious[tag] = round(float(res["mean_iou"]), 4)
+    return mious
 
 
 def _wait_for_backend():
@@ -264,7 +272,8 @@ def main():
                   "vgg_pyramid_img_per_sec": round(vgg_ips, 1),
                   "map_synthetic": maps["exact"],
                   "map_synthetic_fp8": maps["fp8"],
-                  "seg_miou_synthetic": seg_miou,
+                  "seg_miou_synthetic": seg_miou["exact"],
+                  "seg_miou_synthetic_fp8": seg_miou["fp8"],
                   "device": str(jax.devices()[0])},
     }))
 

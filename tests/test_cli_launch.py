@@ -666,3 +666,40 @@ def test_cli_replay_video(tmp_path, rng, capsys):
     assert lines[-1] == {"frames_processed": 2}   # 4 frames, stride 2
     with pytest.raises(SystemExit):               # images XOR --video
         main(["replay", str(tmp_path / "f.png"), "--video", path])
+
+
+def test_cli_profile(tmp_path, rng, capsys):
+    """`profile` aggregates per-HLO-op device time for a model's jitted
+    pipeline (SURVEY.md §5 tracing; utils/profiling is the library).
+    Uses a tiny registered stub so the CPU compile stays cheap."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from tpufcn.core.config import GridConfig
+    from tpufcn.models import registry
+
+    grid = GridConfig(64, 64, stride=16, num_classes=1)
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            y = nn.Conv(8, (3, 3), padding="SAME")(x.astype(jnp.float32))
+            g = nn.avg_pool(y, (16, 16), (16, 16))
+            return {"coverage": nn.sigmoid(g[..., :1]),
+                    "bboxes": jnp.tile(g[..., :1], (1, 1, 1, 4))}
+
+    registry.register("_profile_test", registry.ModelSpec(
+        factory=lambda dtype=jnp.float32, **kw: _Tiny(),
+        grid=grid, preprocessing="demean", background_channel=None,
+        heads=("coverage", "bboxes"),
+        reference="(test stub)"))
+    try:
+        from tpufcn.cli import main
+        main(["profile", "--model", "_profile_test", "--batch", "1",
+              "--iters", "2", "--top", "5", "--max-candidates", "8",
+              "--logdir", str(tmp_path / "trace"), "--json"])
+    finally:
+        del registry._REGISTRY["_profile_test"]
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["model"] == "_profile_test"
+    assert rec["total_device_us"] > 0
+    assert len(rec["ops"]) >= 1 and all("dur_us" in o for o in rec["ops"])

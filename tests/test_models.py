@@ -60,7 +60,8 @@ def test_registry_complete():
     have = names()
     for required in ("googlenet_detectnet", "googlenet_detectnet_1cls",
                      "googlenet_detectnet_3cls", "vgg_detectnet_train",
-                     "vgg_pyramid_detectnet", "fcn8s_bbox", "fcn32s_seg"):
+                     "vgg_pyramid_detectnet", "fcn8s_bbox", "fcn32s_seg",
+                     "fcn8s_bbox_serving", "fcn32s_seg_serving"):
         assert required in have
 
 
@@ -92,6 +93,33 @@ def test_serving_preset_checkpoint_compatible():
                zip(jtu.tree_leaves(pe), jtu.tree_leaves(ps)))
     out = serving.apply(pe, x)           # exact's params serve directly
     assert out["coverage"].shape == (1, 4, 4, 4)
+
+
+@pytest.mark.parametrize("exact_name,serving_name,hw", [
+    ("fcn8s_bbox", "fcn8s_bbox_serving", (96, 96)),
+    ("fcn32s_seg", "fcn32s_seg_serving", (96, 96)),
+])
+def test_fcn_serving_presets_checkpoint_compatible(exact_name, serving_name,
+                                                   hw):
+    """FCN-family serving presets: same param tree as the exact model
+    (checkpoints interchange; only activation STORAGE dtypes differ)."""
+    import jax.tree_util as jtu
+    exact = build(exact_name, dtype=jnp.bfloat16)
+    serving = build(serving_name, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, *hw, 3), jnp.bfloat16)
+    pe = exact.init(jax.random.key(0), x)
+    ps = serving.init(jax.random.key(0), x)
+    assert jtu.tree_structure(pe) == jtu.tree_structure(ps)
+    assert all(a.shape == b.shape for a, b in
+               zip(jtu.tree_leaves(pe), jtu.tree_leaves(ps)))
+    oe = exact.apply(pe, x)
+    os_ = serving.apply(pe, x)           # exact's params serve directly
+    for k in oe:
+        assert oe[k].shape == os_[k].shape
+        # e5m2 storage perturbs but must not derail the outputs
+        a = np.asarray(oe[k], np.float64)
+        b = np.asarray(os_[k], np.float64)
+        assert np.isfinite(b).all()
 
 
 def test_googlenet_param_names():

@@ -16,6 +16,7 @@ Subcommands cover the reference's operational surface (SURVEY.md C21/C22):
   rank      proposal ranking / outlier rejection -> train2.txt
             (rank_object_models.py analog)
   bench     the headline throughput benchmark
+  profile   per-HLO-op device-time attribution of the serving pipeline
   pointmap  build the C++ point-map library
 
 Usage: python -m tpufcn.cli <subcommand> [args]
@@ -564,6 +565,65 @@ def _cmd_rank(args):
     print(json.dumps({"kept": n, "total": len(samples), "out": out}))
 
 
+def _cmd_profile(args):
+    """Per-op device-time attribution (SURVEY.md §5 tracing/profiling):
+    run the jitted pipeline for --iters dispatches under jax.profiler,
+    then aggregate the trace's per-HLO-op device durations
+    (utils/profiling.aggregate_device_trace).  Host-side timing is
+    unreliable on remote-TPU setups (CLAUDE.md) — the device trace is
+    the ground truth the perf work in BENCH.md was driven by."""
+    import tempfile
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.models import build, get_spec
+    from tpufcn.utils.profiling import aggregate_device_trace, device_trace
+
+    spec = get_spec(args.model)
+    H, W = spec.grid.im_height, spec.grid.im_width
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(args.batch, H, W, 3)).astype(np.uint8))
+    if "coverage" in spec.heads and "bboxes" in spec.heads:
+        from tpufcn.serve.detector import Detector
+        det = Detector(args.model, max_candidates=args.max_candidates)
+        params, impl = det.params, jax.jit(det._infer_impl)
+
+        def run():
+            return np.asarray(impl(params, frames).boxes)
+    else:                             # seg-only family: fwd + argmax
+        from tpufcn.serve.detector import _preprocess
+        model = build(args.model)
+        params = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, H, W, 3), jnp.float32))
+        impl = jax.jit(lambda p, x: jnp.argmax(model.apply(
+            p, _preprocess(x, spec.preprocessing, (H, W)))["seg"], -1))
+
+        def run():
+            return np.asarray(impl(params, frames))
+
+    run()                             # compile + warm OUTSIDE the trace
+    logdir = args.logdir or tempfile.mkdtemp(prefix="tpufcn_profile_")
+    with device_trace(logdir):
+        for _ in range(args.iters):
+            run()
+    ops = aggregate_device_trace(logdir)
+    total = sum(o["dur_us"] for o in ops) or 1.0
+    if args.json:
+        print(json.dumps({"model": args.model, "batch": args.batch,
+                          "iters": args.iters, "total_device_us": total,
+                          "logdir": logdir,
+                          "ops": ops[:args.top] if args.top else ops}))
+        return
+    print(f"{args.model}  batch {args.batch}  x{args.iters} dispatches  "
+          f"device total {total / 1e3:.2f} ms  (trace: {logdir})")
+    print(f"{'device ms':>10}  {'share':>6}  op")
+    for o in ops[:args.top] if args.top else ops:
+        print(f"{o['dur_us'] / 1e3:10.3f}  {o['dur_us'] / total:6.1%}  "
+              f"{o['name']}")
+
+
 def _cmd_bench(args):
     import runpy
     runpy.run_path("bench.py", run_name="__main__")
@@ -761,6 +821,19 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=_cmd_bench)
+
+    pf = sub.add_parser("profile",
+                        help="per-HLO-op device-time attribution")
+    pf.add_argument("--model", default="googlenet_detectnet_serving")
+    pf.add_argument("--batch", type=int, default=8)
+    pf.add_argument("--iters", type=int, default=3)
+    pf.add_argument("--top", type=int, default=25,
+                    help="rows to print (0 = all)")
+    pf.add_argument("--max-candidates", type=int, default=256)
+    pf.add_argument("--logdir", default=None,
+                    help="keep the XPlane trace here (XProf-viewable)")
+    pf.add_argument("--json", action="store_true")
+    pf.set_defaults(fn=_cmd_profile)
 
     pm = sub.add_parser("pointmap")
     pm.set_defaults(fn=_cmd_pointmap)

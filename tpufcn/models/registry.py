@@ -142,6 +142,20 @@ register("fcn8s_bbox", ModelSpec(
     heads=("coverage", "bboxes", "seg"),
     reference="train/fcn_bbox/train_val.prototxt",
 ))
+register("fcn8s_bbox_serving", ModelSpec(
+    # e5m2 activation storage on the VGG16 backbone (same placement as
+    # the pyramid serving config — conv outputs stored f8e5m2, max pools
+    # fp8-exact, compute bf16); heads/skip fusion stay exact.  Same
+    # param tree as fcn8s_bbox (checkpoints interchange).
+    factory=lambda dtype=jnp.bfloat16, **kw: FCN8sBBox(
+        num_classes=kw.pop("num_classes", 11), dtype=dtype,
+        store_dtype=kw.pop("store_dtype", jnp.float8_e5m2), **kw),
+    grid=GridConfig(288, 288, stride=8, num_classes=11),
+    preprocessing="demean",
+    background_channel=0,
+    heads=("coverage", "bboxes", "seg"),
+    reference="train/fcn_bbox/train_val.prototxt",
+))
 # --- Modern backbone swap (BASELINE config #5) ----------------------------
 register("resnet_fpn_detectnet", ModelSpec(
     factory=lambda dtype=jnp.bfloat16, **kw: _resnet_fpn(dtype, **kw),
@@ -162,6 +176,19 @@ def _resnet_fpn(dtype, **kw):
 register("fcn32s_seg", ModelSpec(
     factory=lambda dtype=jnp.bfloat16, **kw: FCN32sSeg(
         num_classes=kw.pop("num_classes", 12), dtype=dtype, **kw),
+    grid=GridConfig(224, 224, stride=16, num_classes=12),
+    preprocessing="demean",
+    background_channel=0,
+    heads=("seg",),
+    reference="train/semantic_segmentation/train_val.prototxt",
+))
+register("fcn32s_seg_serving", ModelSpec(
+    # e5m2 activation storage on the VGG16 backbone; score_fr/deconv
+    # stay exact.  Same param tree as fcn32s_seg; accuracy gated by the
+    # bench seg tracker (seg_miou_synthetic_fp8).
+    factory=lambda dtype=jnp.bfloat16, **kw: FCN32sSeg(
+        num_classes=kw.pop("num_classes", 12), dtype=dtype,
+        store_dtype=kw.pop("store_dtype", jnp.float8_e5m2), **kw),
     grid=GridConfig(224, 224, stride=16, num_classes=12),
     preprocessing="demean",
     background_channel=0,
