@@ -175,3 +175,41 @@ def test_trainer_refuses_fp8_serving_models(tmp_path):
     model = build("googlenet_detectnet_serving")
     with pytest.raises(ValueError, match="serving-only"):
         Trainer(cfg, model=model, log_sink=lambda s: None)
+
+
+def test_trainer_signal_snapshot_stop(tmp_path, tiny_dataset):
+    """Preemption tolerance (SURVEY.md §5 "periodic + on-signal"):
+    SIGTERM mid-fit stops the loop at the next dispatch boundary with a
+    snapshot saved at the stopped step; previous handlers are restored;
+    a resume continues from the preempted step."""
+    import os
+    import signal
+
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=2), snapshot_every=0, max_iter=50,
+        snapshot_dir=str(tmp_path / "sig"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    lines = []
+    tr = Trainer(cfg, model=model, log_sink=lines.append)
+    pipe = CompositeTrainPipeline(tiny_dataset, grid,
+                                  DataConfig(batch_size=2), box_capacity=4)
+
+    def preempting(src, after):
+        for i, b in enumerate(src):
+            if i == after:              # delivered DURING fit: the loop
+                os.kill(os.getpid(), signal.SIGTERM)   # must stop + save
+            yield b
+
+    before = signal.getsignal(signal.SIGTERM)
+    state = tr.fit(preempting(iter(pipe), after=1), max_iter=50)
+    assert signal.getsignal(signal.SIGTERM) is before   # handler restored
+    assert int(state.step) == 2                          # stopped early
+    assert tr._mgr.latest_step() == 2                    # snapshot saved
+    assert any("signal" in l and "stopping" in l for l in lines)
+
+    # resume picks up exactly at the preempted step
+    tr2 = Trainer(cfg, model=model, log_sink=lines.append)
+    state2 = tr2.fit(iter(pipe), max_iter=3)
+    assert int(state2.step) == 3

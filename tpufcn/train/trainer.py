@@ -226,6 +226,15 @@ class Trainer:
             max_iter: Optional[int] = None,
             state: Optional[TrainState] = None,
             resume: bool = True) -> TrainState:
+        """Run the solver loop.  Preemption-tolerant: while fitting (in
+        the main thread), SIGTERM/SIGINT request a cooperative stop —
+        the current dispatch finishes, a snapshot is saved, and fit
+        returns the state (SURVEY.md §5 checkpoint plan: "periodic +
+        on-signal"; a later ``fit(resume=True)`` continues from it).
+        Previous handlers are restored on exit."""
+        import signal
+        import threading
+
         cfg = self.cfg
         max_iter = max_iter or cfg.max_iter
         state = state or self.init_state()
@@ -234,6 +243,24 @@ class Trainer:
         start = int(state.step)
         if self.logger._step0 is None:
             self.logger._step0 = start   # resume-aware ms/it accounting
+
+        stop_sig = []
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            # signal.signal is main-thread-only; worker-thread fits
+            # (bus nodes, tests) simply skip the handlers
+            for s in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[s] = signal.signal(
+                    s, lambda signum, frame: stop_sig.append(signum))
+        try:
+            return self._fit_loop(batches, max_iter, state, start,
+                                   stop_sig)
+        finally:
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+
+    def _fit_loop(self, batches, max_iter, state, start, stop_sig):
+        cfg = self.cfg
 
         n_multi = self.steps_per_dispatch
         if n_multi > 1 and (max_iter - start) % n_multi:
@@ -327,12 +354,22 @@ class Trainer:
                     > last_snap // cfg.snapshot_every):
                 self.save(state)
                 last_snap = step
+            if stop_sig:
+                # cooperative preemption stop: snapshot the completed
+                # step and return (the dispatch boundary is the only
+                # safe save point — params mid-dispatch live on device)
+                self.save(state)
+                last_snap = step
+                self.logger.sink(
+                    f"signal {stop_sig[0]}: snapshot saved at step "
+                    f"{step}, stopping")
+                break
         if pending:
             self.logger.sink(
                 f"note: {len(pending)} trailing batch(es) smaller than a "
                 f"{n_multi}-step dispatch were not trained (source "
                 "exhausted mid-dispatch)")
-        if step > start:
+        if step > start and last_snap != step:
             self.save(state)
         return state
 
