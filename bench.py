@@ -182,6 +182,57 @@ def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
     return mious
 
 
+def _train_throughput(batch=32, steps_per_dispatch=20, reps=4):
+    """Training throughput (fwd + bwd + adam) on the reference
+    bounding_box parity geometry — 224x224 stride 8, the config
+    `caffe train` ran (reference train/bounding_box/train_val.prototxt:
+    14,31; batch 32 is the solver's parity batch, BENCH.md records 128
+    as the per-chip optimum).  Methodology matches the serving loop:
+    one multi-step dispatch covers `steps_per_dispatch` full train
+    steps chained through the carried state, a loss fetch forces
+    completion, min over reps."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.models import build
+    from tpufcn.train.trainer import Trainer
+
+    grid = GridConfig(224, 224, stride=8, num_classes=11)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=batch),
+        optimizer="adam", learning_rate=1e-4,
+        max_iter=10 ** 9, snapshot_every=0,
+        snapshot_dir="/tmp/tpufcn_bench_train", log_every=10 ** 9)
+    model = build("vgg_detectnet_train", dtype=jnp.bfloat16,
+                  num_classes=11)
+    trainer = Trainer(cfg, model=model,
+                      steps_per_dispatch=steps_per_dispatch,
+                      log_sink=lambda s: None)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    one = {
+        "image": rng.integers(0, 256, size=(batch, 224, 224, 3)
+                              ).astype(np.uint8),
+        "rects": np.tile(np.array([40, 40, 120, 120], np.float32),
+                         (batch, 4, 1)),
+        "labels": np.ones((batch, 4), np.int32),
+        "valid": np.tile(np.array([True, False, False, False]),
+                         (batch, 1)),
+    }
+    b = trainer.put({k: np.stack([v] * steps_per_dispatch)
+                     for k, v in one.items()}, stacked=True)
+    state, m = trainer.step_fn(state, b)       # compile + warm
+    _ = float(np.asarray(m["loss_total"][-1]))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, m = trainer.step_fn(state, b)
+        _ = float(np.asarray(m["loss_total"][-1]))
+        best = min(best, (time.perf_counter() - t0) / steps_per_dispatch)
+    return batch / best
+
+
 def _wait_for_backend():
     """Bounded wait for a reachable jax backend before any in-process use.
 
@@ -255,6 +306,8 @@ def main():
     vgg_ips = 64 / _time_loop(det_v._infer_impl, det_v.params, frames[:64])
     del det_v
 
+    train_ips = _train_throughput()
+
     maps = _map_synthetic()
     seg_miou = _seg_miou_synthetic()
 
@@ -270,6 +323,7 @@ def main():
                   "p50_single_frame_ms": round(lat_ms, 3),
                   "resnet_fpn_img_per_sec": round(resnet_ips, 1),
                   "vgg_pyramid_img_per_sec": round(vgg_ips, 1),
+                  "train_b32_img_per_sec": round(train_ips, 1),
                   "map_synthetic": maps["exact"],
                   "map_synthetic_fp8": maps["fp8"],
                   "seg_miou_synthetic": seg_miou["exact"],
