@@ -270,9 +270,14 @@ def test_cli_train_records_eval_weights(tmp_path, rng, capsys):
     recipes.RECIPES["_tiny_cli_test"] = _tiny
     snap = str(tmp_path / "snap")
     try:
+        metrics = str(tmp_path / "metrics.jsonl")
         main(["train", "--recipe", "_tiny_cli_test", "--records", prefix,
-              "--snapshot-dir", snap, "--cache", "2"])
+              "--snapshot-dir", snap, "--cache", "2",
+              "--metrics-out", metrics])
         assert "trained to step 2" in capsys.readouterr().out
+        hist = [json.loads(l) for l in open(metrics)]
+        assert hist and all("loss_total" in h and "step" in h
+                            for h in hist)
         main(["eval", "--manifest", man, "--format", "detection",
               "--model", "vgg_detectnet_train", "--weights", snap])
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -697,9 +702,17 @@ def test_cli_profile(tmp_path, rng, capsys):
         main(["profile", "--model", "_profile_test", "--batch", "1",
               "--iters", "2", "--top", "5", "--max-candidates", "8",
               "--logdir", str(tmp_path / "trace"), "--json"])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["model"] == "_profile_test" and rec["mode"] == "serve"
+        assert rec["total_device_us"] > 0
+        assert len(rec["ops"]) >= 1 and all("dur_us" in o
+                                            for o in rec["ops"])
+        # --train profiles the fwd+bwd+optimizer step instead
+        main(["profile", "--model", "_profile_test", "--batch", "1",
+              "--iters", "2", "--top", "5", "--train",
+              "--logdir", str(tmp_path / "trace_train"), "--json"])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["mode"] == "train" and rec["total_device_us"] > 0
+        assert len(rec["ops"]) >= 1
     finally:
         del registry._REGISTRY["_profile_test"]
-    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["model"] == "_profile_test"
-    assert rec["total_device_us"] > 0
-    assert len(rec["ops"]) >= 1 and all("dur_us" in o for o in rec["ops"])

@@ -163,6 +163,14 @@ def _cmd_train(args):
         state = state.replace(params=resolve_weights(
             args.weights, lambda: state.params))
     state = trainer.fit(src, state=state)
+    if args.metrics_out:
+        # structured per-display-step metrics (the tee'd-solver-log
+        # analog, reference train/train.sh:22-28 — but machine-readable)
+        with open(args.metrics_out, "w") as f:
+            for h in trainer.logger.history:
+                f.write(json.dumps(h) + "\n")
+        print(f"wrote {len(trainer.logger.history)} metric records to "
+              f"{args.metrics_out}", file=sys.stderr)
     print(f"trained to step {int(state.step)}; snapshots in "
           f"{cfg.snapshot_dir}")
 
@@ -585,7 +593,42 @@ def _cmd_profile(args):
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 256, size=(args.batch, H, W, 3)).astype(np.uint8))
-    if "coverage" in spec.heads and "bboxes" in spec.heads:
+    if args.train:
+        # train step (fwd + bwd + optimizer) over a synthetic batch —
+        # the per-op view BENCH.md's train analysis came from
+        from tpufcn.core.config import DataConfig, TrainConfig
+        from tpufcn.train.trainer import Trainer
+
+        cfg = TrainConfig(
+            grid=spec.grid, model=args.model,
+            data=DataConfig(batch_size=args.batch),
+            snapshot_every=0, log_every=10 ** 9,
+            snapshot_dir=tempfile.mkdtemp(prefix="tpufcn_profile_snap_"))
+        with_seg = "seg" in spec.heads
+        trainer = Trainer(cfg, with_seg=with_seg,
+                          log_sink=lambda s: None)
+        state = trainer.init_state()
+        C = spec.grid.num_classes
+        lo = 1 if spec.background_channel is not None else 0
+        batch = {
+            "image": np.asarray(frames),
+            "rects": np.tile(np.array([8, 8, H // 2, W // 2], np.float32),
+                             (args.batch, 4, 1)),
+            "labels": np.full((args.batch, 4),
+                              max(C - 1 - lo, 0), np.int32),
+            "valid": np.tile(np.array([True, False, False, False]),
+                             (args.batch, 1)),
+        }
+        if with_seg:
+            batch["seg"] = np.zeros((args.batch, H, W), np.int32)
+        b = trainer.put(batch)
+        holder = [state]
+
+        def run():
+            s, metrics = trainer.step_fn(holder[0], b)
+            holder[0] = s
+            return float(np.asarray(metrics["loss_total"]))
+    elif "coverage" in spec.heads and "bboxes" in spec.heads:
         from tpufcn.serve.detector import Detector
         det = Detector(args.model, max_candidates=args.max_candidates)
         params, impl = det.params, jax.jit(det._infer_impl)
@@ -610,13 +653,16 @@ def _cmd_profile(args):
             run()
     ops = aggregate_device_trace(logdir)
     total = sum(o["dur_us"] for o in ops) or 1.0
+    mode = "train" if args.train else "serve"
     if args.json:
-        print(json.dumps({"model": args.model, "batch": args.batch,
+        print(json.dumps({"model": args.model, "mode": mode,
+                          "batch": args.batch,
                           "iters": args.iters, "total_device_us": total,
                           "logdir": logdir,
                           "ops": ops[:args.top] if args.top else ops}))
         return
-    print(f"{args.model}  batch {args.batch}  x{args.iters} dispatches  "
+    print(f"{args.model} [{mode}]  batch {args.batch}  "
+          f"x{args.iters} dispatches  "
           f"device total {total / 1e3:.2f} ms  (trace: {logdir})")
     print(f"{'device ms':>10}  {'share':>6}  op")
     for o in ops[:args.top] if args.top else ops:
@@ -652,6 +698,9 @@ def main(argv=None):
                         "optimizer update per N micro-batches (update = "
                         "mean gradient; effective batch = N*batch-size)")
     t.add_argument("--snapshot-dir", default=None)
+    t.add_argument("--metrics-out", default=None, metavar="FILE",
+                   help="write per-display-step metrics history as JSONL "
+                        "(loss terms, img/s) after training")
     t.add_argument("--weights", default=None,
                    help="initial weights for fine-tuning (the reference's "
                         "`caffe train --weights`, train/train.sh:26): a "
@@ -830,6 +879,9 @@ def main(argv=None):
     pf.add_argument("--top", type=int, default=25,
                     help="rows to print (0 = all)")
     pf.add_argument("--max-candidates", type=int, default=256)
+    pf.add_argument("--train", action="store_true",
+                    help="profile the train step (fwd+bwd+optimizer) "
+                         "instead of the serving pipeline")
     pf.add_argument("--logdir", default=None,
                     help="keep the XPlane trace here (XProf-viewable)")
     pf.add_argument("--json", action="store_true")
