@@ -110,6 +110,35 @@ def test_detector_mesh_sharded_serving_matches(rng):
                                np.asarray(b.confidence), rtol=1e-6)
 
 
+def test_detector_spatial_mesh_serving_matches(rng):
+    """Spatially-sharded serving (data=2, space=4): the conv stack is
+    GSPMD-partitioned over activation rows (halo exchanges), the head
+    grids re-gathered to data-only sharding, decode+NMS per data shard
+    — identical DetectionResult to the single-device detector (the
+    big-frame / fewer-frames-than-chips path, SURVEY.md §5
+    long-context analog)."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import DetectorConfig, GridConfig, MeshConfig
+    from tpufcn.core.mesh import make_mesh
+    from tpufcn.serve.detector import Detector
+
+    cfg = DetectorConfig(grid=GridConfig(64, 64, stride=8, num_classes=2),
+                         model="vgg_detectnet_train", max_candidates=32)
+    base = Detector("vgg_detectnet_train", config=cfg, dtype=jnp.float32,
+                    model_kwargs={"num_classes": 2})
+    mesh = make_mesh(MeshConfig(data=2, space=4))
+    sharded = Detector("vgg_detectnet_train", config=cfg, dtype=jnp.float32,
+                       params=base.params, model_kwargs={"num_classes": 2},
+                       mesh=mesh)
+    frames = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    a = base(frames)
+    b = sharded(frames)
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.confidence),
+                               np.asarray(b.confidence), rtol=1e-6)
+
+
 def test_vgg_serving_mode_agrees_with_exact(rng):
     """e5m2 activation storage on the VGG pyramid deploy net (C17):
     coverage close to exact; pipeline runs end to end."""

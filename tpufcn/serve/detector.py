@@ -175,21 +175,56 @@ class Detector:
                 from jax.experimental.shard_map import shard_map
                 rep_off = {"check_rep": False}
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from tpufcn.core.mesh import DATA_AXIS
+            from tpufcn.core.mesh import DATA_AXIS, SPACE_AXIS
             extra = {a: n for a, n in mesh.shape.items()
-                     if a != DATA_AXIS and n > 1}
+                     if a not in (DATA_AXIS, SPACE_AXIS) and n > 1}
             if extra:
                 raise ValueError(
-                    f"Detector(mesh=...) shards over '{DATA_AXIS}' only; "
-                    f"mesh has extra non-trivial axes {extra} whose chips "
-                    "would run redundant replicas — pass a data-only "
-                    "mesh, e.g. make_mesh(MeshConfig(data=N))")
-            sharded = shard_map(
-                self._infer_impl, mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS), **rep_off)
-            self._infer = jax.jit(sharded)
-            self._frames_sharding = NamedSharding(mesh, P(DATA_AXIS))
+                    f"Detector(mesh=...) shards over '{DATA_AXIS}' and "
+                    f"'{SPACE_AXIS}' only; mesh has extra non-trivial "
+                    f"axes {extra} whose chips would run redundant "
+                    "replicas — pass a (data, space) mesh, e.g. "
+                    "make_mesh(MeshConfig(data=N, space=M))")
+            space_n = dict(mesh.shape).get(SPACE_AXIS, 1)
+            if space_n > 1:
+                # Spatially-sharded serving — the big-frame / fewer-
+                # frames-than-chips path (SURVEY.md §5 long-context
+                # analog): activations are partitioned over ROWS and
+                # GSPMD inserts the conv halo exchanges (single-device
+                # parity pinned by tests/test_spatial_inference.py).
+                # The stride-16 head grids are tiny, so they are
+                # re-gathered to data-only sharding and decode+NMS runs
+                # per data shard (the Pallas groupRectangles kernel has
+                # no GSPMD partitioning rule and must stay per-shard);
+                # the space-axis replicas of the decode are redundant
+                # but negligible next to the conv stack.
+                data_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+                def spatial_infer(params, frames):
+                    cov, bbox = self._forward(params, frames)
+                    cov = jax.lax.with_sharding_constraint(cov, data_sh)
+                    bbox = jax.lax.with_sharding_constraint(bbox, data_sh)
+                    in_hw = (frames.shape[-3], frames.shape[-2])
+                    decode = shard_map(
+                        lambda c, b: self._decode_nms(c, b, in_hw),
+                        mesh=mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        out_specs=P(DATA_AXIS), **rep_off)
+                    return decode(cov, bbox)
+
+                self._frames_sharding = NamedSharding(
+                    mesh, P(DATA_AXIS, SPACE_AXIS))
+                self._infer = jax.jit(
+                    spatial_infer,
+                    in_shardings=(NamedSharding(mesh, P()),   # params repl.
+                                  self._frames_sharding))
+            else:
+                sharded = shard_map(
+                    self._infer_impl, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS), **rep_off)
+                self._infer = jax.jit(sharded)
+                self._frames_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     # number of foreground classes actually decoded
     @property
@@ -197,15 +232,23 @@ class Detector:
         C = self.grid.num_classes
         return C - 1 if self.spec.background_channel is not None else C
 
+    def _forward(self, params, frames):
+        """preprocess + model forward -> (coverage, bboxes) grids."""
+        grid = self.grid
+        x = _preprocess(frames, self.spec.preprocessing,
+                        (grid.im_height, grid.im_width))
+        out = self.model.apply(params, x)
+        return out["coverage"], out["bboxes"]
+
     def _infer_impl(self, params, frames):
+        coverage, bboxes = self._forward(params, frames)
+        return self._decode_nms(coverage, bboxes,
+                                (frames.shape[-3], frames.shape[-2]))
+
+    def _decode_nms(self, coverage, bboxes, in_hw):
         cfg = self.config
         grid = self.grid
-        net_hw = (grid.im_height, grid.im_width)
-        in_h, in_w = frames.shape[-3], frames.shape[-2]
-
-        x = _preprocess(frames, self.spec.preprocessing, net_hw)
-        out = self.model.apply(params, x)
-        coverage, bboxes = out["coverage"], out["bboxes"]
+        in_h, in_w = in_hw
 
         bg = self.spec.background_channel
         if bg is not None:
