@@ -49,6 +49,31 @@ def test_launch_graph_detector(rng):
     assert len(got) == 1
 
 
+def test_launch_graph_detector_mesh(rng):
+    """Launch-spec multi-chip serving: "mesh": {"data": N, "space": M}
+    builds the node's Detector over a (data, space) device mesh
+    (micro_batch must divide by the data axis; flush pads to the full
+    micro-batch so partial tails keep the compiled shape)."""
+    graph = launch({
+        "det": {
+            "type": "detector",
+            "params": {"model": "vgg_detectnet_train", "num_classes": 2,
+                       "max_candidates": 32, "micro_batch": 2,
+                       "mesh": {"data": 2, "space": 4}},
+            "remap": {"image": "image"},
+        },
+    })
+    got = []
+    graph.bus.subscribe("/fcn_object_detector/rects",
+                        lambda m: got.append(m.data), queue_size=8)
+    for i in range(2):
+        frame = rng.integers(0, 256, (224, 224, 3)).astype(np.uint8)
+        graph.bus.publish("image", frame, stamp=float(i))
+        graph.spin()
+    assert graph.nodes["det"].processed == 2
+    assert len(got) == 2
+
+
 def test_launch_missing_weights_fails():
     with pytest.raises(FileNotFoundError, match="PRETRAINED"):
         launch({"d": {"type": "detector",

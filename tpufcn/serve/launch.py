@@ -100,9 +100,21 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
                                prob_thresh=cfg.detection_threshold,
                                stride=params.get("tile_stride", 1))
     else:
+        # multi-chip serving from the launch spec: "mesh": {"data": N,
+        # "space": M} shards the node's batch over the data axis and
+        # (space > 1) row-partitions the conv stack with GSPMD halo
+        # exchange — the launch-file analog of
+        # Detector(mesh=make_mesh(MeshConfig(...)))
+        mesh = None
+        if params.get("mesh"):
+            from tpufcn.core.config import MeshConfig
+            from tpufcn.core.mesh import make_mesh
+            m = params["mesh"]
+            mesh = make_mesh(MeshConfig(data=int(m.get("data", 1)),
+                                        space=int(m.get("space", 1))))
         detector = Detector(model_name, config=cfg, params=det_params,
                             max_candidates=cfg.candidate_capacity,
-                            model_kwargs=mkw)
+                            model_kwargs=mkw, mesh=mesh)
     # label manifest -> class display names (reference rosparam
     # ~manifest, fcn_object_detector.launch:8).  The reference silently
     # falls back to generated names when the file is absent
