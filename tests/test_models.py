@@ -130,3 +130,20 @@ def test_googlenet_param_names():
     assert "conv1/7x7_s2" in params
     assert "inception_3a" in params and "5x5_reduce" in params["inception_3a"]
     assert "cvg/classifier" in params and "bbox/regressor" in params
+
+
+def test_fcn8s_serving_keeps_head_taps_exact():
+    """fcn8s_bbox_serving quantizes ONLY backbone stages 1-2: the taps
+    its score heads read directly (pool3/pool4/conv5_3) must stay in
+    the compute dtype — full-backbone e5m2 measured a trained-mAP
+    collapse 0.68 -> 0.20 (BENCH.md)."""
+    from tpufcn.models.vgg import VGG16Backbone
+
+    bb = VGG16Backbone(dtype=jnp.bfloat16,
+                       store_dtype=jnp.float8_e5m2, store_stages=2)
+    x = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    taps = bb.apply(bb.init(jax.random.key(0), x), x)
+    assert taps["pool1"].dtype == jnp.float8_e5m2      # stage 1 stored
+    assert taps["pool2"].dtype == jnp.float8_e5m2      # stage 2 stored
+    for tap in ("pool3", "pool4", "conv5_3"):          # head inputs exact
+        assert taps[tap].dtype == jnp.bfloat16, tap

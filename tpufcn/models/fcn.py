@@ -43,11 +43,13 @@ class FCN8sBBox(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
     store_dtype: Any = None    # serving: compact activation storage
+    store_stages: int = 5      # quantize backbone stages <= this
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         C = self.num_classes
         taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             store_stages=self.store_stages,
                              name="backbone")(x)
         p5 = max_pool_caffe(taps["conv5_3"], 2, 2)            # pool5, stride 32
         y = nn.Dropout(self.dropout_rate, deterministic=not train,
@@ -81,10 +83,12 @@ class FCN32sSeg(nn.Module):
     num_classes: int = 12
     dtype: Any = jnp.bfloat16
     store_dtype: Any = None    # serving: compact activation storage
+    store_stages: int = 5      # quantize backbone stages <= this
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             store_stages=self.store_stages,
                              name="backbone")(x)
         # Caffe layer name "score_fr_6" (top blob "score_fr") — the module
         # uses the LAYER name so .caffemodel blobs map 1:1.

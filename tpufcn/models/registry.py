@@ -143,13 +143,18 @@ register("fcn8s_bbox", ModelSpec(
     reference="train/fcn_bbox/train_val.prototxt",
 ))
 register("fcn8s_bbox_serving", ModelSpec(
-    # e5m2 activation storage on the VGG16 backbone (same placement as
-    # the pyramid serving config — conv outputs stored f8e5m2, max pools
-    # fp8-exact, compute bf16); heads/skip fusion stay exact.  Same
-    # param tree as fcn8s_bbox (checkpoints interchange).
+    # e5m2 activation storage on backbone stages 1-2 ONLY (the
+    # bandwidth-heavy large-spatial stages — they carry ~the whole
+    # throughput win, +10.2%): FULL-backbone quantization measured
+    # below exact on trained mAP in every gate run, while stages-1-2
+    # matches exact on the better-converged gate (BENCH.md; the
+    # synthetic fcn8s gate is noisier than the other families' — gate
+    # on your own data before serving this preset).  Same param tree
+    # as fcn8s_bbox (checkpoints interchange).
     factory=lambda dtype=jnp.bfloat16, **kw: FCN8sBBox(
         num_classes=kw.pop("num_classes", 11), dtype=dtype,
-        store_dtype=kw.pop("store_dtype", jnp.float8_e5m2), **kw),
+        store_dtype=kw.pop("store_dtype", jnp.float8_e5m2),
+        store_stages=kw.pop("store_stages", 2), **kw),
     grid=GridConfig(288, 288, stride=8, num_classes=11),
     preprocessing="demean",
     background_channel=0,

@@ -44,11 +44,18 @@ class VGG16Backbone(nn.Module):
     dtype: Any = jnp.bfloat16
     relu5_3: bool = True
     # Serving fast path (same design as GoogLeNetDetectNet.store_dtype):
-    # every conv output is STORED in a compact dtype (use f8e5m2 — its
+    # conv outputs are STORED in a compact dtype (use f8e5m2 — its
     # bf16-truncation convert rides the conv epilogue); max pools are
     # fp8-exact and the next conv's prologue absorbs the up-convert.
     # Compute stays ``dtype``.  None = exact (default; training uses it).
+    # ``store_stages`` limits quantization to stages <= it.  The fcn8s
+    # family measures a consistent trained-mAP cost from FULL-backbone
+    # e5m2 (below exact in all three gate runs, BENCH.md) while
+    # stages-1-2-only matches exact on the better-converged gate and
+    # keeps ~the whole bandwidth win (stages 1-2 are the large-spatial
+    # tensors).  Other families gate clean at the default 5.
     store_dtype: Any = None
+    store_stages: int = 5
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -61,7 +68,8 @@ class VGG16Backbone(nn.Module):
                     relu = False
                 x = conv_relu(x, width, 3, pad=1, name=f"conv{stage}_{i}",
                               relu=relu, dtype=self.dtype)
-                if self.store_dtype is not None:
+                if (self.store_dtype is not None
+                        and stage <= self.store_stages):
                     x = x.astype(self.store_dtype)
             taps[f"conv{stage}_{n_convs}"] = x
             if stage < 5:
@@ -77,10 +85,12 @@ class VGGDetectNet(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
     store_dtype: Any = None    # serving: compact activation storage
+    store_stages: int = 5      # quantize backbone stages <= this
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         taps = VGG16Backbone(dtype=self.dtype, store_dtype=self.store_dtype,
+                             store_stages=self.store_stages,
                              name="backbone")(x)
         y = taps["conv5_3"]                         # stride 16
         # bilinear upsample is a (depthwise) conv: compute dtype
@@ -103,11 +113,13 @@ class VGGPyramidDetectNet(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
     store_dtype: Any = None    # serving: compact activation storage
+    store_stages: int = 5      # quantize backbone stages <= this
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         taps = VGG16Backbone(dtype=self.dtype, relu5_3=False,
                              store_dtype=self.store_dtype,
+                             store_stages=self.store_stages,
                              name="backbone")(x)
         c43 = taps["conv4_3"]                       # stride 8: (H/8, W/8)
         p4 = taps["pool4"]                          # stride 16
