@@ -135,14 +135,19 @@ class VGGPyramidDetectNet(nn.Module):
             p = conv_relu(p, 128, 1, name=f"conv4_3/{bins}x{bins}",
                           dtype=self.dtype)
             p = upsample_factor(p, half // p.shape[-3])
-            if self.store_dtype is not None:
-                p = p.astype(self.store_dtype)      # concat in 8-bit lanes
             pyramid.append(p)
 
         # Concat order matters for head-weight parity with the reference:
         # [conv5_3, pool4, up1x1, up2x2, up4x4, up7x7]
-        # (deploy.prototxt conv4_3/conv5_3/concat)
-        y = jnp.concatenate([c53, p4] + pyramid, axis=-1)
+        # (deploy.prototxt conv4_3/conv5_3/concat).  All inputs are cast
+        # to ONE dtype first (8-bit floats have no implicit promotion
+        # path): 8-bit lanes when the full backbone is stored compactly,
+        # else the compute dtype.
+        cat_dt = (self.store_dtype
+                  if self.store_dtype is not None and self.store_stages >= 5
+                  else self.dtype)
+        y = jnp.concatenate([t.astype(cat_dt) for t in [c53, p4] + pyramid],
+                            axis=-1)
         y = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="dropout5")(y)
         cvg = conv_relu(y, self.num_classes, 1, name="cvg/classifier",
