@@ -480,13 +480,29 @@ def _cmd_launch(args):
     """The roslaunch analog: build a node graph from a JSON spec (the
     launch-file equivalent — node types/params/remaps, see
     tpufcn/serve/launch.py and examples/*.launch.json) and optionally
-    stream image frames through it."""
+    stream image frames through it.
+
+    With --bus tcp://host:port the graph attaches to a cross-process
+    broker (`cli bus`), and --nodes restricts this process to a subset
+    of the spec — together they split one launch file across OS
+    processes, the reference's actual deployment shape (each ROS node
+    its own process, reference launch/fcn_point_map.launch:3-19)."""
     import cv2 as cv
     from tpufcn.serve.launch import launch
 
     with open(args.graph) as f:
         spec = json.load(f)
-    graph = launch(spec)
+    if args.nodes:
+        wanted = [n.strip() for n in args.nodes.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in spec]
+        if missing:
+            raise SystemExit(f"--nodes not in spec: {', '.join(missing)}")
+        spec = {n: spec[n] for n in wanted}
+    bus = None
+    if args.bus:
+        from tpufcn.serve.netbus import RemoteTopicBus
+        bus = RemoteTopicBus(args.bus)
+    graph = launch(spec, bus=bus)
     published = 0
     if args.frames and args.video:
         raise SystemExit("give --frames OR --video, not both")
@@ -515,6 +531,18 @@ def _cmd_launch(args):
             if hasattr(node, "flush"):
                 node.flush()     # part-filled micro-batches at stream end
         graph.spin()             # deliver anything the flush published
+    elif args.serve is not None:
+        # node-only process on a remote bus: spin until the duration
+        # elapses (or forever on 0 / until SIGINT), delivering messages
+        # that arrive from other processes via the broker
+        import time as _time
+        deadline = _time.time() + args.serve if args.serve > 0 else None
+        try:
+            while deadline is None or _time.time() < deadline:
+                graph.spin()
+                _time.sleep(0.005)
+        except KeyboardInterrupt:
+            pass
     else:
         graph.spin(args.spin)
     print(json.dumps({
@@ -522,6 +550,33 @@ def _cmd_launch(args):
         "frames_published": published,
         "processed": {name: getattr(node, "processed", None)
                       for name, node in graph.nodes.items()}}))
+
+
+def _cmd_bus(args):
+    """Run the cross-process topic broker in the foreground (the
+    roscore/TCPROS-fabric analog): node processes attach with
+    `cli launch --bus tcp://host:port`."""
+    import signal
+    import time as _time
+    from tpufcn.serve.netbus import start_broker
+    handle = start_broker(port=args.port,
+                          native="no" if args.python else "auto",
+                          max_outbox=args.max_outbox)
+    kind = "python" if handle._proc is None else "native"
+    print(json.dumps({"address": handle.address, "broker": kind}),
+          flush=True)
+    stop = {"flag": False}
+    def _sig(_s, _f):
+        stop["flag"] = True
+    signal.signal(signal.SIGINT, _sig)
+    signal.signal(signal.SIGTERM, _sig)
+    try:
+        while not stop["flag"]:
+            if handle._proc is not None and handle._proc.poll() is not None:
+                raise SystemExit("broker process exited")
+            _time.sleep(0.2)
+    finally:
+        handle.stop()
 
 
 def _tool_extractor(args):
@@ -852,7 +907,28 @@ def main(argv=None):
                     help="topic the frames are published on")
     ln.add_argument("--spin", type=int, default=1,
                     help="bus spins when no frames are given")
+    ln.add_argument("--bus", default=None,
+                    help="attach to a cross-process broker "
+                         "(tcp://host:port, see `cli bus`)")
+    ln.add_argument("--nodes", default=None,
+                    help="comma-separated subset of the spec to run in "
+                         "THIS process (multi-process deployment)")
+    ln.add_argument("--serve", type=float, default=None,
+                    help="spin for SECONDS serving remote-bus traffic "
+                         "(0 = until SIGINT); for node-only processes")
     ln.set_defaults(fn=_cmd_launch)
+
+    bs = sub.add_parser("bus",
+                        help="run the cross-process topic broker "
+                             "(the TCPROS-fabric analog)")
+    bs.add_argument("--port", type=int, default=0,
+                    help="TCP port (0 = ephemeral, printed on start)")
+    bs.add_argument("--python", action="store_true",
+                    help="use the pure-Python broker instead of the "
+                         "native C++ one")
+    bs.add_argument("--max-outbox", type=int, default=64,
+                    help="per-subscriber queued-frame cap (drop-oldest)")
+    bs.set_defaults(fn=_cmd_bus)
 
     rf = sub.add_parser("refine",
                         help="offline boundary-refinement walk "

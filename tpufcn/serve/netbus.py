@@ -1,0 +1,352 @@
+"""Cross-process topic bus: the TCPROS-analog transport.
+
+The in-process :class:`tpufcn.serve.bus.TopicBus` replaces ROS pub-sub
+semantics within one process; the reference system, however, runs its
+nodes as SEPARATE OS processes wired over TCP (reference
+launch/fcn_point_map.launch:3-19 launches the C++ point-map node next
+to the Python detector node; scripts/fcn_object_detector.py:330-331
+subscribes with ``tcp_nodelay=True``).  This module supplies that
+missing half: a broker-forwarded TCP fabric with the same drop-oldest
+queue semantics, so a launch graph can be split across processes
+(``cli bus`` + ``cli launch --bus tcp://host:port --nodes ...``).
+
+Components
+----------
+* ``RemoteTopicBus`` — a drop-in :class:`TopicBus` that mirrors every
+  publish to a broker and injects remotely published messages into its
+  local subscription queues.  Node code is unchanged: synchronizers,
+  DetectorNode, the capture node etc. all run over it as-is.
+* ``PyBroker`` — a pure-Python broker thread speaking the same wire
+  protocol, for hosts without a C++ toolchain and for unit tests.
+* ``start_broker`` — runs the native C++ broker
+  (``tpufcn/netbus/broker.cpp``, built on demand like the pointmap
+  library) or falls back to ``PyBroker``.
+
+Wire protocol (see broker.cpp header for the byte layout): length-
+prefixed frames; SUB/UNSUB carry a topic, PUB carries topic + stamp +
+seq + an opaque payload.  Payloads are pickled (protocol 5) — the same
+trust model as TCPROS: an unauthenticated fabric for a trusted robot
+LAN; never expose the broker port publicly.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import socket
+import struct
+import subprocess
+import threading
+from typing import Optional
+
+from tpufcn.serve.bus import TopicBus
+
+_SUB = 0x01
+_UNSUB = 0x02
+_PUB = 0x03
+
+_NETBUS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "netbus")
+
+
+def _frame(kind: int, body: bytes) -> bytes:
+    return struct.pack(">IB", 1 + len(body), kind) + body
+
+
+def _pub_body(topic: str, stamp: float, seq: int, payload: bytes) -> bytes:
+    t = topic.encode("utf-8")
+    return struct.pack(">H", len(t)) + t + struct.pack(">dQ", stamp, seq) \
+        + payload
+
+
+def _parse_pub(body: bytes):
+    (tlen,) = struct.unpack_from(">H", body, 0)
+    topic = body[2:2 + tlen].decode("utf-8")
+    stamp, seq = struct.unpack_from(">dQ", body, 2 + tlen)
+    payload = body[2 + tlen + 16:]
+    return topic, stamp, seq, payload
+
+
+def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+class RemoteTopicBus(TopicBus):
+    """TopicBus attached to a broker: local semantics + TCP forwarding.
+
+    ``publish`` delivers to this process's subscribers directly (exactly
+    like the in-process bus) and sends one PUB frame to the broker,
+    which forwards it to every OTHER connected process subscribed to the
+    topic.  A background reader thread turns inbound PUB frames into
+    local queue pushes; ``spin_once`` then delivers them on the caller's
+    thread, preserving the single-threaded-spinner model.
+    """
+
+    def __init__(self, address: str):
+        super().__init__()
+        host, port = parse_address(address)
+        self._sock = socket.create_connection((host, port))
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._wlock = threading.Lock()
+        self._closed = False
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    # -- TopicBus surface -------------------------------------------------
+    def subscribe(self, topic, callback, queue_size: int = 1):
+        sub = super().subscribe(topic, callback, queue_size)
+        self._send(_frame(_SUB, topic.encode("utf-8")))
+        return sub
+
+    def publish(self, topic, data, stamp=None):
+        msg = super().publish(topic, data, stamp)
+        payload = pickle.dumps(data, protocol=5)
+        self._send(_frame(_PUB, _pub_body(topic, msg.stamp, msg.seq,
+                                          payload)))
+        return msg
+
+    # -- transport --------------------------------------------------------
+    def _send(self, frame: bytes):
+        with self._wlock:
+            if self._closed:
+                raise ConnectionError("netbus connection closed")
+            self._sock.sendall(frame)
+
+    def _read_loop(self):
+        from tpufcn.serve.bus import Message
+        try:
+            while True:
+                head = _read_exact(self._sock, 4)
+                if head is None:
+                    return
+                (length,) = struct.unpack(">I", head)
+                body = _read_exact(self._sock, length)
+                if body is None or body[0] != _PUB:
+                    return
+                topic, stamp, seq, payload = _parse_pub(body[1:])
+                data = pickle.loads(payload)
+                msg = Message(stamp, data, seq)
+                with self._lock:
+                    subs = list(self._subs.get(topic, ()))
+                for s in subs:
+                    s.push(msg)
+        except OSError:
+            return
+
+    def close(self):
+        with self._wlock:
+            self._closed = True
+            try:
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            self._sock.close()
+
+
+class PyBroker:
+    """Pure-Python broker: one reader thread per connection, the same
+    wire protocol and drop-oldest outbox stance as the C++ broker (the
+    Python outbox is the socket send buffer plus a bounded frame deque).
+    """
+
+    def __init__(self, port: int = 0, max_outbox: int = 64):
+        self.max_outbox = max_outbox
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind(("127.0.0.1", port))
+        self._listener.listen(64)
+        self.port = self._listener.getsockname()[1]
+        self._lock = threading.Lock()
+        self._subs = {}       # topic -> set of _Client
+        self._clients = set()
+        self._stop = threading.Event()
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
+        self._accept_thread.start()
+
+    class _Client:
+        def __init__(self, sock, broker):
+            self.sock = sock
+            self.broker = broker
+            self.topics = set()
+            self.outbox = []          # bounded frame list
+            self.cond = threading.Condition()
+            self.dead = False
+
+        def enqueue(self, frame: bytes):
+            with self.cond:
+                self.outbox.append(frame)
+                while len(self.outbox) > self.broker.max_outbox:
+                    self.outbox.pop(0)   # drop-oldest
+                self.cond.notify()
+
+        def write_loop(self):
+            while True:
+                with self.cond:
+                    while not self.outbox and not self.dead:
+                        self.cond.wait(0.5)
+                    if self.dead:
+                        return
+                    frames = self.outbox
+                    self.outbox = []
+                try:
+                    self.sock.sendall(b"".join(frames))
+                except OSError:
+                    return
+
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                sock, _ = self._listener.accept()
+            except OSError:
+                return
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            client = PyBroker._Client(sock, self)
+            with self._lock:
+                self._clients.add(client)
+            threading.Thread(target=self._client_loop, args=(client,),
+                             daemon=True).start()
+            threading.Thread(target=client.write_loop, daemon=True).start()
+
+    def _client_loop(self, client):
+        sock = client.sock
+        try:
+            while True:
+                head = _read_exact(sock, 4)
+                if head is None:
+                    break
+                (length,) = struct.unpack(">I", head)
+                body = _read_exact(sock, length)
+                if body is None:
+                    break
+                kind = body[0]
+                if kind == _SUB:
+                    topic = body[1:].decode("utf-8")
+                    with self._lock:
+                        client.topics.add(topic)
+                        self._subs.setdefault(topic, set()).add(client)
+                elif kind == _UNSUB:
+                    topic = body[1:].decode("utf-8")
+                    with self._lock:
+                        client.topics.discard(topic)
+                        self._subs.get(topic, set()).discard(client)
+                elif kind == _PUB:
+                    (tlen,) = struct.unpack_from(">H", body, 1)
+                    topic = body[3:3 + tlen].decode("utf-8")
+                    frame = struct.pack(">I", length) + body
+                    with self._lock:
+                        receivers = list(self._subs.get(topic, ()))
+                    for r in receivers:
+                        if r is not client:
+                            r.enqueue(frame)
+                else:
+                    break
+        except OSError:
+            pass
+        with self._lock:
+            self._clients.discard(client)
+            for t in client.topics:
+                self._subs.get(t, set()).discard(client)
+        with client.cond:
+            client.dead = True
+            client.cond.notify()
+        try:
+            sock.close()
+        except OSError:
+            pass
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        with self._lock:
+            clients = list(self._clients)
+        for c in clients:
+            with c.cond:
+                c.dead = True
+                c.cond.notify()
+            try:
+                c.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.sock.close()
+            except OSError:
+                pass
+
+
+class BrokerHandle:
+    """Uniform handle over the native subprocess / PyBroker thread."""
+
+    def __init__(self, port: int, proc=None, pybroker=None):
+        self.port = port
+        self.address = f"tcp://127.0.0.1:{port}"
+        self._proc = proc
+        self._py = pybroker
+
+    def stop(self):
+        if self._proc is not None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+                self._proc.wait()
+            self._proc = None
+        if self._py is not None:
+            self._py.stop()
+            self._py = None
+
+
+def build_broker(force: bool = False) -> str:
+    """Build the native broker binary on demand (like the pointmap lib)."""
+    path = os.path.join(_NETBUS_DIR, "tpufcn_bus_broker")
+    if force or not os.path.exists(path):
+        subprocess.run(["make", "-s", "-C", _NETBUS_DIR], check=True)
+    return path
+
+
+def start_broker(port: int = 0, native: str = "auto",
+                 max_outbox: int = 64) -> BrokerHandle:
+    """Start a broker and return its handle.
+
+    ``native`` — "yes" requires the C++ broker, "no" forces PyBroker,
+    "auto" tries the native build and falls back.
+    """
+    if native in ("auto", "yes"):
+        try:
+            binary = build_broker()
+            proc = subprocess.Popen(
+                [binary, "--port", str(port), "--max-outbox",
+                 str(max_outbox)],
+                stdout=subprocess.PIPE, text=True)
+            line = proc.stdout.readline().strip()
+            if line.startswith("PORT "):
+                return BrokerHandle(int(line.split()[1]), proc=proc)
+            proc.terminate()
+            raise RuntimeError(f"native broker failed to start: {line!r}")
+        except (OSError, subprocess.CalledProcessError, RuntimeError):
+            if native == "yes":
+                raise
+    py = PyBroker(port=port, max_outbox=max_outbox)
+    return BrokerHandle(py.port, pybroker=py)
+
+
+def parse_address(address: str):
+    """``tcp://host:port`` or ``host:port`` -> (host, port)."""
+    addr = address
+    if addr.startswith("tcp://"):
+        addr = addr[len("tcp://"):]
+    host, _, port = addr.rpartition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"bus address must be tcp://host:port, got "
+                         f"{address!r}")
+    return host, int(port)
