@@ -150,6 +150,49 @@ def test_pybroker_outbox_bound_drops_oldest():
         py.stop()
 
 
+def test_reconnect_after_broker_restart():
+    """Nodes outlive a fabric restart (ROS nodes survive a roscore
+    bounce the same way): the client reconnects, re-subscribes, and
+    traffic flows again; publishes during the outage are dropped and
+    counted, while LOCAL delivery keeps working throughout."""
+    py = PyBroker()
+    port = py.port
+    a = RemoteTopicBus(f"tcp://127.0.0.1:{port}", retry_interval=0.05)
+    b = RemoteTopicBus(f"tcp://127.0.0.1:{port}", retry_interval=0.05)
+    try:
+        got = []
+        b.subscribe("/t", lambda m: got.append(m.data), queue_size=16)
+        local = []
+        a.subscribe("/t", lambda m: local.append(m.data), queue_size=16)
+        time.sleep(0.2)
+        a.publish("/t", "before", stamp=1.0)
+        assert _wait_for(lambda: got, spin=b.spin_once)
+
+        py.stop()
+        time.sleep(0.2)
+        a.publish("/t", "during", stamp=2.0)    # broker is down
+        a.spin_once()
+        assert "during" in local                 # local path unaffected
+        assert _wait_for(lambda: a.dropped_publishes >= 1,
+                         spin=lambda: a.publish("/t", "during2", stamp=2.5))
+
+        py2 = PyBroker(port=port)
+        try:
+            # keep publishing until one crosses the restarted broker
+            # (reconnect + re-SUB timing is what is under test)
+            def attempt():
+                a.publish("/t", "after", stamp=3.0)
+                b.spin_once()
+            assert _wait_for(lambda: "after" in got, spin=attempt,
+                             timeout=10)
+        finally:
+            py2.stop()
+    finally:
+        a.close()
+        b.close()
+        py.stop()
+
+
 def test_multi_process_capture_graph(tmp_path):
     """Full multi-process deployment: broker (native), a capture node in
     a SEPARATE python process (`cli launch --bus --nodes --serve`), and

@@ -88,56 +88,119 @@ class RemoteTopicBus(TopicBus):
     thread, preserving the single-threaded-spinner model.
     """
 
-    def __init__(self, address: str):
+    def __init__(self, address: str, reconnect: bool = True,
+                 retry_interval: float = 0.5):
         super().__init__()
-        host, port = parse_address(address)
-        self._sock = socket.create_connection((host, port))
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._host, self._port = parse_address(address)
+        self.reconnect = reconnect
+        self.retry_interval = retry_interval
+        self.dropped_publishes = 0   # PUB frames lost while disconnected
+        self._topics = set()         # for re-SUB after a reconnect
         self._wlock = threading.Lock()
         self._closed = False
+        self._sock = self._connect()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
+
+    def _connect(self) -> socket.socket:
+        sock = socket.create_connection((self._host, self._port))
+        # Linux TCP self-connect quirk: connecting to a DOWN port in the
+        # ephemeral range can simultaneously-open onto ITSELF (source
+        # port == dest port), so sends would "succeed" into our own
+        # reader.  Treat it as a failed attempt.
+        if sock.getsockname() == sock.getpeername():
+            sock.close()
+            raise ConnectionRefusedError("self-connect (broker down)")
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return sock
 
     # -- TopicBus surface -------------------------------------------------
     def subscribe(self, topic, callback, queue_size: int = 1):
         sub = super().subscribe(topic, callback, queue_size)
-        self._send(_frame(_SUB, topic.encode("utf-8")))
+        with self._wlock:
+            self._topics.add(topic)
+        self._send(_frame(_SUB, topic.encode("utf-8")), best_effort=True)
         return sub
 
     def publish(self, topic, data, stamp=None):
+        # local subscribers are served regardless of broker health (the
+        # in-process half of the bus never depends on the network)
         msg = super().publish(topic, data, stamp)
         payload = pickle.dumps(data, protocol=5)
-        self._send(_frame(_PUB, _pub_body(topic, msg.stamp, msg.seq,
-                                          payload)))
+        ok = self._send(_frame(_PUB, _pub_body(topic, msg.stamp, msg.seq,
+                                               payload)),
+                        best_effort=self.reconnect)
+        if not ok:
+            self.dropped_publishes += 1
         return msg
 
     # -- transport --------------------------------------------------------
-    def _send(self, frame: bytes):
+    def _send(self, frame: bytes, best_effort: bool = False) -> bool:
         with self._wlock:
             if self._closed:
+                if best_effort:
+                    return False
                 raise ConnectionError("netbus connection closed")
-            self._sock.sendall(frame)
+            try:
+                self._sock.sendall(frame)
+                return True
+            except OSError:
+                if best_effort:
+                    return False
+                raise
 
     def _read_loop(self):
         from tpufcn.serve.bus import Message
-        try:
-            while True:
-                head = _read_exact(self._sock, 4)
-                if head is None:
-                    return
-                (length,) = struct.unpack(">I", head)
-                body = _read_exact(self._sock, length)
-                if body is None or body[0] != _PUB:
-                    return
-                topic, stamp, seq, payload = _parse_pub(body[1:])
-                data = pickle.loads(payload)
-                msg = Message(stamp, data, seq)
-                with self._lock:
-                    subs = list(self._subs.get(topic, ()))
-                for s in subs:
-                    s.push(msg)
-        except OSError:
-            return
+        while True:
+            sock = self._sock
+            try:
+                while True:
+                    head = _read_exact(sock, 4)
+                    if head is None:
+                        break
+                    (length,) = struct.unpack(">I", head)
+                    body = _read_exact(sock, length)
+                    if body is None or body[0] != _PUB:
+                        break
+                    topic, stamp, seq, payload = _parse_pub(body[1:])
+                    data = pickle.loads(payload)
+                    msg = Message(stamp, data, seq)
+                    with self._lock:
+                        subs = list(self._subs.get(topic, ()))
+                    for s in subs:
+                        s.push(msg)
+            except OSError:
+                pass
+            if self._closed or not self.reconnect:
+                return
+            # broker went away: retry until it is back (ROS nodes
+            # outlive a roscore restart the same way), then re-SUB
+            while not self._closed:
+                try:
+                    new_sock = self._connect()
+                except OSError:
+                    import time as _time
+                    _time.sleep(self.retry_interval)
+                    continue
+                with self._wlock:
+                    if self._closed:
+                        new_sock.close()
+                        return
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                    self._sock = new_sock
+                    topics = sorted(self._topics)
+                try:
+                    for t in topics:
+                        self._send(_frame(_SUB, t.encode("utf-8")),
+                                   best_effort=True)
+                except OSError:
+                    continue
+                break
+            if self._closed:
+                return
 
     def close(self):
         with self._wlock:
@@ -206,6 +269,10 @@ class PyBroker:
                 sock, _ = self._listener.accept()
             except OSError:
                 return
+            if self._stop.is_set():
+                # stop() raced us while blocked in accept()
+                sock.close()
+                return
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             client = PyBroker._Client(sock, self)
             with self._lock:
@@ -263,6 +330,14 @@ class PyBroker:
 
     def stop(self):
         self._stop.set()
+        try:
+            # shutdown BEFORE close: a thread blocked in accept() holds
+            # the open file description, so close() alone leaves the
+            # socket listening (and the next connect would be accepted
+            # by a "stopped" broker); shutdown aborts the accept
+            self._listener.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._listener.close()
         except OSError:
