@@ -1,0 +1,200 @@
+"""Tracked accuracy gates: train each model family on the hard
+synthetic benchmark (tpufcn/data/hardbench.py) and score it held-out.
+
+This is the verification surface every fp8-placement / structural
+decision leans on (BENCH.md: "gate such edits on the trained-model mAP
+tracker, not output parity").  Round 2's gate config saturated at
+mAP 1.0; these gates target a 0.6-0.9 regime so they can trend in both
+directions, count >= 300 detections per family, and support multi-seed
+runs for the high-variance families (fcn8s — BENCH.md negative
+results).  bench.py publishes the results as BENCH json extras.
+
+Detection semantics under test: the reference decode + NMS chain
+(reference scripts/fcn_object_detector.py:337-394) as implemented by
+the single-dispatch Detector pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+from tpufcn.data.hardbench import (
+    BOX_CAPACITY, build_eval_set, hard_data_config, hard_pipeline)
+
+DEFAULT_ROOT = "/tmp/tpufcn_hardgate"
+
+
+def _train_hard(model_name: str, grid: GridConfig, root: str, *,
+                classes: int, steps: int, batch: int, n_cached: int,
+                seed: int, with_seg: bool, model_kwargs: Optional[dict],
+                lr: float = 3e-4):
+    """Train ``model_name`` on the hard benchmark with DeviceBatchCache
+    epoch training (n_cached batches composed+uploaded once, reused from
+    HBM) and return the final TrainState.  ``seed`` varies BOTH the
+    param init and the composited training scenes."""
+    import jax.numpy as jnp
+    from tpufcn.data import DeviceBatchCache
+    from tpufcn.models import build
+    from tpufcn.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        grid=grid, model=model_name,
+        data=DataConfig(batch_size=batch),
+        optimizer="adam", learning_rate=lr,
+        lr_decay_step=max(steps // 2, 1), lr_gamma=0.3,
+        max_iter=steps, snapshot_every=0,
+        snapshot_dir=os.path.join(root, f"snap_{model_name}_{seed}"),
+        log_every=10 ** 9, seed=seed)
+    model = build(model_name, dtype=jnp.bfloat16, **(model_kwargs or {}))
+    trainer = Trainer(cfg, model=model, with_seg=with_seg,
+                      steps_per_dispatch=n_cached, log_sink=lambda s: None)
+    pipe = hard_pipeline(root, grid, batch_size=batch,
+                         seed=1000 + seed, classes=classes)
+    cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
+    return trainer.fit(iter(cache), max_iter=steps, resume=False)
+
+
+def _score_detector(model_name: str, params, grid: GridConfig,
+                    images: np.ndarray, gts, classes: int,
+                    model_kwargs: dict, chunk: int = 32):
+    """mAP@0.5 of ``params`` under the full serving pipeline; also
+    returns the detection count (gate power diagnostic)."""
+    import jax.numpy as jnp
+    from tpufcn.serve.detector import Detector
+    from tpufcn.train.evaluate import evaluate_detections
+
+    det = Detector(model_name, dtype=jnp.bfloat16, max_candidates=128,
+                   model_kwargs=dict(model_kwargs))
+    det.params = params
+    dets_all = []
+    n_det = 0
+    for i in range(0, images.shape[0], chunk):
+        for items in det(images[i:i + chunk]).to_lists():
+            boxes = np.asarray([b for b, _, _ in items],
+                               np.float64).reshape(-1, 4)
+            labels = np.asarray([l for _, l, _ in items], np.int64)
+            scores = np.asarray([c for _, _, c in items], np.float64)
+            dets_all.append((boxes, labels, scores))
+            n_det += len(items)
+    ev = evaluate_detections(gts, dets_all, num_classes=classes,
+                             iou_thresh=0.5)
+    return float(ev["mAP"]), n_det
+
+
+def detection_gate(model_name: str, *,
+                   serving_kwargs: Optional[dict] = None,
+                   classes: int = 4,
+                   im: int = 448, stride: int = 16,
+                   steps: int = 2500, batch: int = 16,
+                   n_cached: int = 30,
+                   seeds: Sequence[int] = (0,),
+                   eval_images: int = 128,
+                   root: str = DEFAULT_ROOT,
+                   with_seg: bool = False,
+                   lr: float = 3e-4) -> Dict[str, object]:
+    """Train + score one detection family on the hard benchmark.
+
+    Trains the EXACT model per seed and scores the same params under
+    both the exact and (when ``serving_kwargs`` is given) the
+    fp8-serving pipeline — fp8 storage is a serving-only mode (its
+    backward crashes the TPU compiler, Trainer refuses it), so serving
+    accuracy is always measured on exact-trained params, matching
+    deployment.
+
+    Returns {"exact": {"mAP", "per_seed"}, optional "fp8": {...},
+    "n_gt", "n_det"} with mean/min/max over seeds.
+    """
+    from tpufcn.models import get_spec
+
+    spec = get_spec(model_name)
+    model_classes = classes + (1 if spec.background_channel is not None
+                               else 0)
+    grid = GridConfig(im, im, stride=stride, num_classes=model_classes)
+    model_kwargs = {"num_classes": model_classes}
+    images, gts, _ = build_eval_set(root, grid, classes=classes,
+                                    n_images=eval_images)
+    n_gt = int(sum(len(g[1]) for g in gts))
+
+    per_seed: Dict[str, list] = {"exact": []}
+    if serving_kwargs:
+        per_seed["fp8"] = []
+    n_det = 0
+    for seed in seeds:
+        state = _train_hard(model_name, grid, root, classes=classes,
+                            steps=steps, batch=batch, n_cached=n_cached,
+                            seed=seed, with_seg=with_seg,
+                            model_kwargs=model_kwargs, lr=lr)
+        m, nd = _score_detector(model_name, state.params, grid, images,
+                                gts, classes, model_kwargs)
+        per_seed["exact"].append(round(m, 4))
+        n_det = max(n_det, nd)
+        if serving_kwargs:
+            m8, _ = _score_detector(model_name, state.params, grid,
+                                    images, gts, classes,
+                                    {**model_kwargs, **serving_kwargs})
+            per_seed["fp8"].append(round(m8, 4))
+    out: Dict[str, object] = {"n_gt": n_gt, "n_det": n_det,
+                              "eval_images": int(images.shape[0]),
+                              "seeds": list(seeds)}
+    for tag, vals in per_seed.items():
+        out[tag] = {"mAP": round(float(np.mean(vals)), 4),
+                    "min": min(vals), "max": max(vals),
+                    "per_seed": vals}
+    return out
+
+
+def segmentation_gate(model_name: str = "fcn32s_seg", *,
+                      serving_name: str = "fcn32s_seg_serving",
+                      classes: int = 4,
+                      im: int = 224, stride: int = 16,
+                      steps: int = 2500, batch: int = 16,
+                      n_cached: int = 30,
+                      seeds: Sequence[int] = (0,),
+                      eval_images: int = 64,
+                      root: str = DEFAULT_ROOT) -> Dict[str, object]:
+    """FCN-32s seg family gate: held-out mean-IoU on the hard benchmark
+    (masks carry label+1 per compositor convention; class 0 background)."""
+    import jax
+    import jax.numpy as jnp
+    from tpufcn.models import build
+    from tpufcn.ops.image import demean_bgr
+    from tpufcn.train.evaluate import evaluate_segmentation
+
+    C = classes + 1
+    grid = GridConfig(im, im, stride=stride, num_classes=C)
+    images, _, segs = build_eval_set(root, grid, classes=classes,
+                                     n_images=eval_images)
+
+    per_seed: Dict[str, list] = {"exact": [], "fp8": []}
+    for seed in seeds:
+        state = _train_hard(model_name, grid, root, classes=classes,
+                            steps=steps, batch=batch, n_cached=n_cached,
+                            seed=seed, with_seg=True,
+                            model_kwargs={"num_classes": C})
+        for tag, name in (("exact", model_name), ("fp8", serving_name)):
+            m = build(name, dtype=jnp.bfloat16, num_classes=C)
+
+            @jax.jit
+            def seg_fwd(p, x, m=m):
+                logits = m.apply(
+                    p, demean_bgr(jnp.asarray(x, jnp.float32)))["seg"]
+                return jnp.argmax(logits, axis=-1)
+
+            preds = []
+            for i in range(0, images.shape[0], 32):
+                preds.append(np.asarray(seg_fwd(state.params,
+                                                images[i:i + 32])))
+            res = evaluate_segmentation(list(segs), list(np.concatenate(preds)),
+                                        num_classes=C)
+            per_seed[tag].append(round(float(res["mean_iou"]), 4))
+    out: Dict[str, object] = {"eval_images": int(images.shape[0]),
+                              "seeds": list(seeds)}
+    for tag, vals in per_seed.items():
+        out[tag] = {"mIoU": round(float(np.mean(vals)), 4),
+                    "min": min(vals), "max": max(vals),
+                    "per_seed": vals}
+    return out
