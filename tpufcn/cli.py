@@ -139,15 +139,46 @@ def _cmd_train(args):
                           "images": int(imgs.shape[0]),
                           "with_seg": seg is not None}))
         return
+    # in-training validation (the Caffe TEST phase, reference
+    # train/bounding_box/solver.prototxt:6-7 test_iter/test_interval):
+    # held-out scoring at --eval-every cadence + best-checkpoint
+    # retention in <snapshot-dir>/best
+    validator = None
+    if args.eval_every:
+        if not (args.val_records or args.val_manifest):
+            raise SystemExit(
+                "--eval-every requires --val-records or --val-manifest")
+        cfg = dataclasses.replace(cfg, eval_every=args.eval_every)
+        from tpufcn.train import validate as V
+        hw = (cfg.grid.im_height, cfg.grid.im_width)
+        if get_spec(cfg.model).heads == ("seg",):
+            if not args.val_manifest:
+                raise SystemExit("seg-only families validate from "
+                                 "--val-manifest (mask manifest)")
+            vi, vm = V.seg_val_set_from_manifest(
+                args.val_manifest, hw, limit=args.val_limit)
+            validator = V.seg_validator(cfg.model, vi, vm)
+        else:
+            if args.val_records:
+                vi, vg = V.val_set_from_records(
+                    args.val_records, hw, limit=args.val_limit)
+            else:
+                vi, vg = V.val_set_from_manifest(
+                    args.val_manifest, hw, limit=args.val_limit)
+            validator = V.detection_validator(
+                cfg.model, vi, vg, chunk=min(32, len(vi)))
+        print(f"validation: {len(vi)} held-out samples every "
+              f"{args.eval_every} steps", file=sys.stderr)
     if args.cache > 0:
         # device-resident epoch cache: compose/read N batches once,
         # upload once, train epochs from HBM (see DeviceBatchCache)
         from tpufcn.data import DeviceBatchCache
         trainer = Trainer(cfg, with_seg=with_seg,
-                          steps_per_dispatch=args.cache)
+                          steps_per_dispatch=args.cache,
+                          validator=validator)
         src = iter(DeviceBatchCache(trainer.put, iter(pipe), args.cache))
     else:
-        trainer = Trainer(cfg, with_seg=with_seg)
+        trainer = Trainer(cfg, with_seg=with_seg, validator=validator)
         src = iter(pipe)
     state = None
     if args.weights:
@@ -171,6 +202,10 @@ def _cmd_train(args):
                 f.write(json.dumps(h) + "\n")
         print(f"wrote {len(trainer.logger.history)} metric records to "
               f"{args.metrics_out}", file=sys.stderr)
+    if trainer.best is not None:
+        print(f"best checkpoint: step {trainer.best['step']} "
+              f"({trainer.best['metric']}={trainer.best['score']:.4f}) "
+              f"in {cfg.snapshot_dir}/best")
     print(f"trained to step {int(state.step)}; snapshots in "
           f"{cfg.snapshot_dir}")
 
@@ -778,6 +813,23 @@ def main(argv=None):
                    help="device-resident batch cache: build N batches "
                         "once, train epochs over them from HBM (fast on "
                         "slow hosts / remote-TPU tunnels)")
+    t.add_argument("--eval-every", type=int, default=0, metavar="N",
+                   help="in-training validation cadence (the Caffe "
+                        "TEST-phase test_interval, solver.prototxt:6-7): "
+                        "score the held-out set every N steps, log "
+                        "val metrics, keep the best checkpoint in "
+                        "<snapshot-dir>/best (requires --val-records "
+                        "or --val-manifest)")
+    t.add_argument("--val-records", default=None, metavar="PREFIX",
+                   help="held-out record shards for --eval-every "
+                        "(detection families: mAP@0.5 under the full "
+                        "serving pipeline)")
+    t.add_argument("--val-manifest", default=None, metavar="FILE",
+                   help="held-out manifest for --eval-every: `path x y "
+                        "w h label` detection lines, or the stride-2 "
+                        "mask manifest for seg-only families (mean-IoU)")
+    t.add_argument("--val-limit", type=int, default=64,
+                   help="max held-out samples scored per validation")
     t.set_defaults(fn=_cmd_train)
 
     d = sub.add_parser("detect")

@@ -156,6 +156,12 @@ class TrainConfig:
     max_iter: int = 100000
     snapshot_every: int = 5000
     snapshot_dir: str = "snapshots"
+    # In-training validation cadence (the Caffe TEST-phase knobs,
+    # reference train/bounding_box/solver.prototxt:6-7 test_iter/
+    # test_interval): every N steps Trainer.fit runs its `validator`
+    # callable on held-out data, logs the metrics, and retains the
+    # best-scoring checkpoint in <snapshot_dir>/best.  0 = off.
+    eval_every: int = 0
     bbox_loss_weight: float = 2.0      # reference models/train_val.prototxt:2264
     coverage_loss_weight: float = 1.0
     seg_loss_weight: float = 1.0

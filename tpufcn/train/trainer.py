@@ -102,6 +102,15 @@ class MetricLogger:
         self.history.append({"step": step, **vals, "img_per_sec": ips})
         self.sink(line)
 
+    def log_scalars(self, step: int, vals: Dict[str, float]):
+        """Out-of-band scalar record (validation metrics): appended to
+        the history (and thus --metrics-out JSONL) and printed
+        regardless of the display cadence."""
+        self.history.append({"step": step, **vals})
+        self.sink(f"iter {step}: " + " ".join(
+            f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in vals.items()))
+
 
 class Trainer:
     """End-to-end training over a host batch iterator."""
@@ -111,6 +120,8 @@ class Trainer:
                  mesh=None,
                  with_seg: bool = False,
                  steps_per_dispatch: int = 1,
+                 validator: Optional[Callable] = None,
+                 val_metric: Optional[str] = None,
                  log_sink: Callable[[str], None] = print):
         self.cfg = cfg
         self.model = model or build_model(cfg.model)
@@ -167,6 +178,19 @@ class Trainer:
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=5, create=True))
+        # in-training validation (Caffe TEST phase, reference
+        # train/bounding_box/solver.prototxt:6-7): `validator` is
+        # params -> {metric: float}; see tpufcn.train.validate for the
+        # mAP/mIoU validators.  Selection metric for best-checkpoint
+        # retention defaults to the first key the validator returns.
+        self.validator = validator
+        self.val_metric = val_metric
+        self.best: Optional[Dict] = None
+        self._best_mgr = None
+        if validator is not None and not cfg.eval_every:
+            raise ValueError(
+                "a validator was given but cfg.eval_every is 0 — set "
+                "TrainConfig.eval_every to the validation cadence")
 
     # --- checkpointing (reference: solver snapshot .caffemodel/.solverstate)
     def save(self, state: TrainState):
@@ -185,6 +209,37 @@ class Trainer:
             params=restored["params"],
             opt_state=restored["opt_state"],
             dropout_rng=state.dropout_rng)
+
+    def _run_validation(self, state: TrainState, step: int):
+        """Score held-out data and retain the best checkpoint.
+
+        Runs at the dispatch boundary (params are consistent there);
+        the best snapshot lives in ``<snapshot_dir>/best`` as a normal
+        orbax checkpoint — ``load_snapshot_params(dir + "/best")``
+        serves it — plus a BEST.json sidecar with the winning
+        step/score."""
+        import json
+        metrics = {k: (float(v) if not isinstance(v, (int, np.integer))
+                       else int(v))
+                   for k, v in self.validator(state.params).items()}
+        self.logger.log_scalars(
+            step, {f"val_{k}": v for k, v in metrics.items()})
+        key = self.val_metric or next(iter(metrics))
+        score = float(metrics[key])
+        if self.best is None or score > self.best["score"]:
+            self.best = {"step": int(step), "score": score, "metric": key}
+            if self._best_mgr is None:
+                self._best_mgr = ocp.CheckpointManager(
+                    os.path.join(self.ckpt_dir, "best"),
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=1, create=True))
+            self._best_mgr.save(
+                int(step), args=ocp.args.StandardSave(_to_save(state)))
+            self._best_mgr.wait_until_finished()
+            # sidecar OUTSIDE best/ (orbax scans that dir for step
+            # subdirectories)
+            with open(os.path.join(self.ckpt_dir, "BEST.json"), "w") as f:
+                json.dump({**self.best, "metrics": metrics}, f)
 
     def init_state(self) -> TrainState:
         g = self.cfg.grid
@@ -270,6 +325,7 @@ class Trainer:
                 f"{start + -(-(max_iter - start) // n_multi) * n_multi}")
         pending = []
         last_snap = start
+        last_eval = start
         # host-side step counter: the loop/log/snapshot checks must not
         # read state.step (a device scalar) — int() on it blocks until
         # the dispatched step finishes, serializing dispatches through
@@ -354,6 +410,13 @@ class Trainer:
                     > last_snap // cfg.snapshot_every):
                 self.save(state)
                 last_snap = step
+            # validation whenever an eval_every boundary was crossed
+            # (same crossed-boundary semantics as snapshots: with
+            # steps_per_dispatch > 1 the counter advances by N)
+            if (self.validator is not None and cfg.eval_every and
+                    step // cfg.eval_every > last_eval // cfg.eval_every):
+                self._run_validation(state, step)
+                last_eval = step
             if stop_sig:
                 # cooperative preemption stop: snapshot the completed
                 # step and return (the dispatch boundary is the only
@@ -371,6 +434,11 @@ class Trainer:
                 "exhausted mid-dispatch)")
         if step > start and last_snap != step:
             self.save(state)
+        # final validation (the solver also tests at exit): short runs
+        # that never crossed an eval boundary still get a val record +
+        # best snapshot
+        if self.validator is not None and step > start and last_eval != step:
+            self._run_validation(state, step)
         return state
 
 
