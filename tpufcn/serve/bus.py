@@ -55,6 +55,16 @@ class TopicBus:
         self._subs: Dict[str, List[_Subscription]] = {}
         self._seq = itertools.count()
         self._lock = threading.Lock()
+        self._spin_hooks: List[Callable[[], None]] = []
+
+    def add_spin_hook(self, fn: Callable[[], None]) -> None:
+        """Register idle work run at the END of every ``spin_once`` (the
+        rospy.Timer analog, but on the spinner thread so hooks never
+        race message callbacks).  Used by nodes that need progress
+        without fresh messages — e.g. the detector's micro-batch
+        deadline flush."""
+        with self._lock:
+            self._spin_hooks.append(fn)
 
     def subscribe(self, topic: str, callback: Callable[[Message], None],
                   queue_size: int = 1) -> _Subscription:
@@ -77,9 +87,12 @@ class TopicBus:
     def spin_once(self):
         with self._lock:
             subs = [s for lst in self._subs.values() for s in lst]
+            hooks = list(self._spin_hooks)
         for s in subs:
             for msg in s.drain():
                 s.callback(msg)
+        for h in hooks:
+            h()
 
     def topics(self) -> List[str]:
         with self._lock:

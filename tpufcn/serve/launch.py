@@ -136,6 +136,8 @@ def _make_detector(bus: TopicBus, params: Dict[str, Any],
         names=names,
         overlay_topic=params.get("overlay_topic"),
         micro_batch=int(params.get("micro_batch", 1)),
+        flush_after_ms=(float(params["flush_after_ms"])
+                        if "flush_after_ms" in params else None),
         image_topic=remap.get("image", "image"),
         rects_topic=remap.get("rects", "/fcn_object_detector/rects"),
         pmap_topic=remap.get("pmap", "/fcn_object_detector/pmap"))

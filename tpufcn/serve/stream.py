@@ -21,6 +21,8 @@ Two inference modes, as the reference's two callbacks:
 from __future__ import annotations
 
 import dataclasses
+import time
+from collections import deque
 from typing import Any, List, Optional, Sequence, Tuple
 
 import cv2 as cv
@@ -158,6 +160,7 @@ class DetectorNode:
                  names: Optional[Sequence[str]] = None,
                  overlay_topic: Optional[str] = None,
                  micro_batch: int = 1,
+                 flush_after_ms: Optional[float] = None,
                  timer=None):
         # names: per-class display names from a label manifest
         # (reference rosparam ~manifest -> load_label_manifest,
@@ -188,13 +191,26 @@ class DetectorNode:
         # last frame (one compiled shape) and the pad outputs are
         # discarded.  Boxes mode only.
         self.micro_batch = max(1, int(micro_batch))
+        # flush_after_ms: max STALENESS of a buffered frame.  Without
+        # it a part-filled micro-batch waits for the batch to fill —
+        # on a camera slower than the fill rate, frames would wait
+        # unboundedly, against the reference's freshest-frame stance
+        # (queue_size=1, reference scripts/fcn_object_detector.py:49-50).
+        # The deadline is checked when frames arrive AND from a bus
+        # spin hook, so a silent stream still flushes.
+        self.flush_after_ms = flush_after_ms
         self._pending: List[Tuple[np.ndarray, float]] = []
+        self._buffered_at: List[float] = []   # monotonic arrival times
+        # per-frame node latency (buffer -> rects published), ms; bounded
+        self.latencies_ms: deque = deque(maxlen=1024)
         self.processed = 0
         # buffer up to a full micro-batch in the subscription queue —
         # with the default drop-oldest queue of 1, frames published
         # faster than spin_once would silently vanish before batching
         bus.subscribe(image_topic, self._callback,
                       queue_size=self.micro_batch)
+        if self.flush_after_ms is not None and self.micro_batch > 1:
+            bus.add_spin_hook(self._deadline_check)
 
     def _callback(self, msg: Message):
         if self.timer is not None:
@@ -222,13 +238,41 @@ class DetectorNode:
             if self._pending and self._pending[0][0].shape != frame.shape:
                 self.flush()     # camera geometry changed mid-stream
             self._pending.append((frame, msg.stamp))
-            if len(self._pending) >= self.micro_batch:
+            self._buffered_at.append(time.monotonic())
+            if (len(self._pending) >= self.micro_batch
+                    or self._deadline_exceeded()):
                 self._dispatch()
             return               # processed counts at dispatch time
         else:
+            t0 = time.monotonic()
             res = self.detector(frame[None])
             self._publish_boxes(frame, res.to_lists()[0], msg.stamp)
+            self.latencies_ms.append((time.monotonic() - t0) * 1e3)
         self.processed += 1
+
+    def _deadline_exceeded(self) -> bool:
+        return (self.flush_after_ms is not None and self._buffered_at
+                and (time.monotonic() - self._buffered_at[0]) * 1e3
+                >= self.flush_after_ms)
+
+    def _deadline_check(self):
+        """Bus spin hook: flush a part-filled micro-batch whose oldest
+        frame is staler than ``flush_after_ms`` even when no new frame
+        arrives to trigger the check."""
+        if self._pending and self._deadline_exceeded():
+            self._dispatch()
+
+    def latency_stats(self) -> dict:
+        """Per-frame node latency percentiles (buffer -> rects
+        published), over the last ≤1024 frames."""
+        if not self.latencies_ms:
+            return {"frames": 0}
+        v = np.asarray(self.latencies_ms)
+        return {"frames": int(v.size),
+                "p50_ms": float(np.percentile(v, 50)),
+                "p90_ms": float(np.percentile(v, 90)),
+                "p99_ms": float(np.percentile(v, 99)),
+                "max_ms": float(v.max())}
 
     def _publish_boxes(self, frame, dets, stamp: float):
         if self.publish_rects:
@@ -251,6 +295,8 @@ class DetectorNode:
         while self._pending:
             pending = self._pending[:self.micro_batch]
             self._pending = self._pending[self.micro_batch:]
+            buffered = self._buffered_at[:self.micro_batch]
+            self._buffered_at = self._buffered_at[self.micro_batch:]
             n = len(pending)
             stack = np.stack([f for f, _ in pending])
             if n < self.micro_batch:
@@ -265,9 +311,13 @@ class DetectorNode:
                 # eat the buffered frames: restore them so a later
                 # dispatch / flush can retry, and surface the error
                 self._pending = pending + self._pending
+                self._buffered_at = buffered + self._buffered_at
                 raise
-            for (frame, stamp), dets in zip(pending, lists[:n]):
+            done = time.monotonic()
+            for (frame, stamp), dets, t0 in zip(pending, lists[:n],
+                                                buffered):
                 self._publish_boxes(frame, dets, stamp)
+                self.latencies_ms.append((done - t0) * 1e3)
             self.processed += n
 
     def flush(self):
