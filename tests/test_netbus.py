@@ -243,3 +243,59 @@ def test_multi_process_capture_graph(tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
         handle.stop()
+
+
+def test_payload_encoding_roundtrip():
+    """Raw ndarray framing (TCPROS-style binary messages): numeric
+    arrays skip pickle on both ends; the decode is a zero-copy
+    READ-ONLY view; everything else falls back to pickle."""
+    from tpufcn.serve.netbus import (
+        _ENC_NDARRAY, _ENC_PICKLE, _decode_payload, _encode_payload)
+
+    for arr in (np.arange(12, dtype=np.uint8).reshape(3, 4),
+                np.ones((2, 2), np.float32),
+                np.array(5, np.int64),
+                np.arange(6, dtype=np.complex64),
+                np.zeros((0, 3), np.uint16)):
+        parts = _encode_payload(arr)
+        assert parts[0][0] == _ENC_NDARRAY
+        buf = b"".join(bytes(p) for p in parts)
+        out = _decode_payload(memoryview(buf))
+        assert out.dtype == arr.dtype and out.shape == arr.shape
+        np.testing.assert_array_equal(out, arr)
+        assert not out.flags.writeable     # view over the frame buffer
+
+    # non-contiguous input is normalized and still round-trips
+    strided = np.arange(24, dtype=np.int32).reshape(4, 6)[::2, ::3]
+    buf = b"".join(bytes(p)
+                   for p in _encode_payload(strided))
+    np.testing.assert_array_equal(_decode_payload(memoryview(buf)), strided)
+
+    # non-array / object payloads ride pickle
+    for obj in ({"a": 1}, np.array(["s"], object), [np.ones(2), "x"]):
+        parts = _encode_payload(obj)
+        assert parts[0][0] == _ENC_PICKLE
+        out = _decode_payload(memoryview(b"".join(bytes(p) for p in parts)))
+        assert type(out) is type(obj)
+
+
+def test_mixed_encodings_one_topic(broker):
+    """Pickle and raw-ndarray payloads interleave on one topic; the
+    remote ndarray arrives as a read-only zero-copy view."""
+    a = RemoteTopicBus(broker.address)
+    b = RemoteTopicBus(broker.address)
+    try:
+        got = []
+        b.subscribe("/t", lambda m: got.append(m.data), queue_size=8)
+        time.sleep(0.2)
+        img = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+        a.publish("/t", {"kind": "meta", "n": 3}, stamp=1.0)
+        a.publish("/t", img, stamp=2.0)
+        assert _wait_for(lambda: len(got) >= 2, spin=b.spin_once)
+        assert got[0] == {"kind": "meta", "n": 3}
+        np.testing.assert_array_equal(got[1], img)
+        # zero-copy view over the receive buffer (bytearray -> writable)
+        assert got[1].base is not None
+    finally:
+        a.close()
+        b.close()

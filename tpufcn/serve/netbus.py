@@ -24,9 +24,17 @@ Components
 
 Wire protocol (see broker.cpp header for the byte layout): length-
 prefixed frames; SUB/UNSUB carry a topic, PUB carries topic + stamp +
-seq + an opaque payload.  Payloads are pickled (protocol 5) — the same
-trust model as TCPROS: an unauthenticated fabric for a trusted robot
-LAN; never expose the broker port publicly.
+seq + an opaque payload.  The payload's first byte is an ENCODING tag:
+0x00 = pickle (protocol 5, anything), 0x01 = raw ndarray (dtype +
+shape header + the array bytes — TCPROS-style binary message framing).
+Numeric ndarrays (camera frames, point clouds, masks) take the raw
+path on BOTH ends: the sender scatter-gathers the array buffer
+straight into ``sendmsg`` (no pickle copy), the receiver reads the
+frame into ONE preallocated buffer (recv_into) and returns a zero-copy
+``np.frombuffer`` view over it (writable, privately owned — but shared
+by every in-process subscriber, the usual bus aliasing rules).  The
+broker forwards payloads opaquely either way.  Same trust model as TCPROS: an unauthenticated
+fabric for a trusted robot LAN; never expose the broker port publicly.
 """
 
 from __future__ import annotations
@@ -45,6 +53,10 @@ _SUB = 0x01
 _UNSUB = 0x02
 _PUB = 0x03
 
+# payload encodings (first payload byte)
+_ENC_PICKLE = 0x00
+_ENC_NDARRAY = 0x01
+
 _NETBUS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "netbus")
 
@@ -59,21 +71,88 @@ def _pub_body(topic: str, stamp: float, seq: int, payload: bytes) -> bytes:
         + payload
 
 
-def _parse_pub(body: bytes):
+def _parse_pub(body):
     (tlen,) = struct.unpack_from(">H", body, 0)
-    topic = body[2:2 + tlen].decode("utf-8")
+    topic = bytes(body[2:2 + tlen]).decode("utf-8")
     stamp, seq = struct.unpack_from(">dQ", body, 2 + tlen)
     payload = body[2 + tlen + 16:]
     return topic, stamp, seq, payload
 
 
-def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
+def _encode_payload(data):
+    """-> list of bytes-like parts (scatter-gather into sendmsg).
+
+    Plain numeric ndarrays ride the raw framing — tag + dtype-str +
+    ndim + dims, then the array buffer itself WITHOUT a pickle copy;
+    everything else (tuples, dataclasses, object arrays, non-contiguous
+    exotic strides are normalized first) falls back to pickle."""
+    import numpy as np
+    if (type(data) is np.ndarray and data.dtype.kind in "biufc"
+            and not data.dtype.hasobject and data.ndim <= 255):
+        arr = np.ascontiguousarray(data)
+        dt = arr.dtype.str.encode("ascii")      # e.g. b"<u1", b"<f4"
+        # shape from the ORIGINAL: ascontiguousarray promotes 0-d to 1-d
+        head = (bytes([_ENC_NDARRAY, len(dt)]) + dt
+                + bytes([data.ndim])
+                + struct.pack(f">{data.ndim}Q", *data.shape))
+        # zero-size views cannot be cast; their buffer is empty anyway
+        return [head, memoryview(arr).cast("B") if arr.size else b""]
+    return [bytes([_ENC_PICKLE]), pickle.dumps(data, protocol=5)]
+
+
+def _decode_payload(payload):
+    """Inverse of ``_encode_payload`` over a memoryview/bytes payload.
+
+    Raw ndarrays come back as a ZERO-COPY view over the received frame
+    buffer (np.frombuffer) — writable iff the buffer is (bytearray from
+    the socket reader: yes; immutable bytes: no)."""
+    import numpy as np
+    enc = payload[0]
+    if enc == _ENC_NDARRAY:
+        dlen = payload[1]
+        dt = np.dtype(bytes(payload[2:2 + dlen]).decode("ascii"))
+        off = 2 + dlen
+        ndim = payload[off]
+        off += 1
+        shape = struct.unpack_from(f">{ndim}Q", payload, off)
+        off += 8 * ndim
+        return np.frombuffer(payload, dtype=dt, offset=off).reshape(shape)
+    if enc == _ENC_PICKLE:
+        return pickle.loads(payload[1:])
+    raise ValueError(f"unknown netbus payload encoding {enc:#x}")
+
+
+def _sendmsg_all(sock: socket.socket, parts) -> None:
+    """sendall over a LIST of buffers via scatter-gather sendmsg —
+    the array buffer goes to the kernel directly, no join copy.
+    Handles partial sends (sendmsg may stop mid-list)."""
+    mv = [memoryview(p).cast("B") if not isinstance(p, memoryview) else p
+          for p in parts]
+    while mv:
+        n = sock.sendmsg(mv)
+        while mv and n >= len(mv[0]):
+            n -= len(mv[0])
+            mv.pop(0)
+        if mv and n:
+            mv[0] = mv[0][n:]
+
+
+def _read_exact(sock: socket.socket, n: int):
+    """Read exactly n bytes into ONE preallocated buffer (recv_into).
+
+    The naive ``buf += chunk`` loop re-copies the partial frame on
+    every ~64 KB recv — ~7 copies of a VGA frame, and it was the
+    measured receive-side bottleneck of the fabric.  Returns a
+    bytearray (so ndarray payloads decoded over it are writable
+    views), or None on EOF."""
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:])
+        if r == 0:
             return None
-        buf += chunk
+        got += r
     return buf
 
 
@@ -126,23 +205,32 @@ class RemoteTopicBus(TopicBus):
         # local subscribers are served regardless of broker health (the
         # in-process half of the bus never depends on the network)
         msg = super().publish(topic, data, stamp)
-        payload = pickle.dumps(data, protocol=5)
-        ok = self._send(_frame(_PUB, _pub_body(topic, msg.stamp, msg.seq,
-                                               payload)),
-                        best_effort=self.reconnect)
+        payload_parts = _encode_payload(data)
+        payload_len = sum(p.nbytes if isinstance(p, memoryview) else len(p)
+                          for p in payload_parts)
+        t = topic.encode("utf-8")
+        body_head = (struct.pack(">H", len(t)) + t
+                     + struct.pack(">dQ", msg.stamp, msg.seq))
+        total = 1 + len(body_head) + payload_len
+        ok = self._send_parts(
+            [struct.pack(">IB", total, _PUB) + body_head, *payload_parts],
+            best_effort=self.reconnect)
         if not ok:
             self.dropped_publishes += 1
         return msg
 
     # -- transport --------------------------------------------------------
     def _send(self, frame: bytes, best_effort: bool = False) -> bool:
+        return self._send_parts([frame], best_effort=best_effort)
+
+    def _send_parts(self, parts, best_effort: bool = False) -> bool:
         with self._wlock:
             if self._closed:
                 if best_effort:
                     return False
                 raise ConnectionError("netbus connection closed")
             try:
-                self._sock.sendall(frame)
+                _sendmsg_all(self._sock, parts)
                 return True
             except OSError:
                 if best_effort:
@@ -162,8 +250,11 @@ class RemoteTopicBus(TopicBus):
                     body = _read_exact(sock, length)
                     if body is None or body[0] != _PUB:
                         break
-                    topic, stamp, seq, payload = _parse_pub(body[1:])
-                    data = pickle.loads(payload)
+                    # memoryview end to end: the payload (and a raw
+                    # ndarray decoded from it) stays a view over `body`
+                    topic, stamp, seq, payload = _parse_pub(
+                        memoryview(body)[1:])
+                    data = _decode_payload(payload)
                     msg = Message(stamp, data, seq)
                     with self._lock:
                         subs = list(self._subs.get(topic, ()))
