@@ -771,6 +771,18 @@ def _cmd_pointmap(args):
 
 
 def main(argv=None):
+    # TPUFCN_PLATFORM=cpu forces the jax backend BEFORE any backend
+    # init.  The env var route (JAX_PLATFORMS) is not reliable on hosts
+    # whose TPU plugin re-registers itself at interpreter start; the
+    # config update always sticks.  Used to drive CLI surfaces on the
+    # CPU backend (e.g. an 8-device virtual mesh via
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8) and by the
+    # multi-process serving tests.
+    import os
+    plat = os.environ.get("TPUFCN_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(prog="tpufcn", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
