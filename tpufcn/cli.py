@@ -281,7 +281,9 @@ def _cmd_convert(args):
 
 
 def _cmd_records(args):
-    from tpufcn.data import create_detection_records, read_detection_manifest
+    from tpufcn.data import (
+        create_detection_records, read_detection_manifest,
+        read_voc_manifest)
     if args.inspect:
         # the reference writer's read_lmdb debug inspector
         # (create_training_lmdb.py:492-509): per-record label + shape
@@ -298,7 +300,12 @@ def _cmd_records(args):
         return
     if not args.manifest:
         raise SystemExit("--manifest is required (unless --inspect)")
-    samples = read_detection_manifest(args.manifest)
+    # --format voc: the converter's comma-grouped multi-box manifests
+    # (`cli voc` output, 0-based labels) feed the writer directly —
+    # the reference's VOC -> LMDB flow (create_train_val.py ->
+    # create_training_lmdb.py)
+    samples = (read_voc_manifest(args.manifest) if args.format == "voc"
+               else read_detection_manifest(args.manifest))
     n = create_detection_records(
         samples, args.out, augment=args.augment,
         relabel_contiguous=args.relabel, add_background=args.background)
@@ -306,8 +313,9 @@ def _cmd_records(args):
 
 
 def _cmd_voc(args):
-    from tpufcn.data.voc import PascalVOC
-    PascalVOC(args.voc_root).create(args.out)
+    from tpufcn.data.voc import VOC_CLASSES, PascalVOC
+    PascalVOC(args.voc_root,
+              classes=args.classes or VOC_CLASSES).create(args.out)
     print(f"wrote manifests to {args.out}")
 
 
@@ -869,6 +877,11 @@ def main(argv=None):
 
     r = sub.add_parser("records")
     r.add_argument("--manifest", default=None)
+    r.add_argument("--format", choices=("detection", "voc"),
+                   default="detection",
+                   help="manifest format: `path x y w h label` lines "
+                        "(1-based labels) or the VOC converter's "
+                        "comma-grouped multi-box manifests (0-based)")
     r.add_argument("--out", required=True)
     r.add_argument("--inspect", action="store_true",
                    help="read back records at --out and print label/"
@@ -892,6 +905,11 @@ def main(argv=None):
     v = sub.add_parser("voc")
     v.add_argument("voc_root")
     v.add_argument("--out", default=".")
+    v.add_argument("--classes", nargs="*", default=None,
+                   help="class-name whitelist in label order (default: "
+                        "the 20 Pascal VOC classes); objects with other "
+                        "names are skipped, as the reference converter "
+                        "skips unknown names")
     v.set_defaults(fn=_cmd_voc)
 
     e = sub.add_parser("eval")
