@@ -10,18 +10,27 @@ configuration: f8e5m2 activation STORAGE for the large stem tensors
 (conv1/LRN1/conv2/LRN2 outputs) and the inception concats; all compute
 stays bf16 (see models/googlenet.py store_dtype — e5m2 because trained
 conv1 activations saturate e4m3, and its bf16-truncation convert is
-VPU-cheap).  Accuracy of the mode is tracked below via mAP.
-Extras report the exact-bf16 number, the modern-backbone swap
-(resnet_fpn_detectnet, BASELINE config #5), single-frame p50 latency,
-and a synthetic-dataset mAP tracked for BASELINE.md row 3 — measured
-for BOTH the exact and the fp8-serving model so the serving mode's
-accuracy parity is on record.
+VPU-cheap).
+
+Extras report, per VERDICT round-2 #1/#4/#8:
+* throughput for EVERY model family — exact AND serving where a preset
+  exists (googlenet flagship, resnet_fpn, vgg_pyramid B64, fcn8s B64
+  full pipeline, fcn32s B128 fwd+argmax) plus single-frame p50 latency
+  and the train step;
+* MFU (model FLOPs from XLA cost_analysis / 197 TFLOP/s bf16 peak) for
+  the tracked serving graphs;
+* the HARD-benchmark accuracy gates (tpufcn/train/gates.py): per-family
+  trained mAP/mIoU on multi-class cluttered occluded scenes, exact vs
+  fp8-serving, calibrated to a non-saturated ~0.6-0.9 regime; fcn8s
+  runs 3 seeds with mean/min/max.  BENCH_SKIP_GATES=1 skips them (they
+  train 5 models and dominate wall time).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -35,23 +44,34 @@ import numpy as np
 # reports the true steady-state throughput.
 ITERS = 40
 
+PEAK_BF16_FLOPS = 197e12   # v5e MXU peak, the BENCH.md roofline basis
 
-def _time_loop(infer, params, frames, iters=ITERS, reps=6):
+
+def _progress(msg):
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
+def _time_loop(infer, params, frames, iters=ITERS, reps=6,
+               out_scalar=None):
     """On-device lax.scan loop with a chained data dependency; host-side
     per-dispatch timing is unreliable through the remote-TPU tunnel
     (see CLAUDE.md), so one dispatch covers `iters` full passes and a
     final value fetch forces completion.  Min over reps (each rep is a
     fresh dispatch; more reps only tighten the min against tunnel/system
     noise — within-process spread is <1%, but single dispatches can be
-    unlucky)."""
+    unlucky).  ``out_scalar`` reduces the pipeline output to a scalar
+    for the carry chain (default: detection-result boxes)."""
     import jax
     import jax.numpy as jnp
+
+    if out_scalar is None:
+        out_scalar = lambda out: out.boxes.sum()   # noqa: E731
 
     @jax.jit
     def loop(p, f):
         def body(c, _):
             out = infer(p, f + c)
-            return (out.boxes.sum() % 2).astype(jnp.uint8), None
+            return (out_scalar(out) % 2).astype(jnp.uint8), None
         c, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None,
                             length=iters)
         return c
@@ -65,128 +85,25 @@ def _time_loop(infer, params, frames, iters=ITERS, reps=6):
     return best
 
 
-def _train_synthetic(model_name, grid, root, *, with_seg=False,
-                     steps=2000, batch=16, n_cached=25,
-                     model_kwargs=None):
-    """Shared scaffold for the accuracy trackers: train `model_name` on
-    the synthetic compositing dataset with DeviceBatchCache epoch
-    training (n_cached batches built+uploaded once, reused from HBM —
-    thousands of steps cost seconds of device time instead of minutes
-    of 1-core host compositing), then return (state, model, held-out
-    seed-99 test batch)."""
-    import jax.numpy as jnp
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "examples"))
-    from demo import make_dataset
-    from tpufcn.core.config import DataConfig, TrainConfig
-    from tpufcn.data import CompositeTrainPipeline, DeviceBatchCache
-    from tpufcn.models import build
-    from tpufcn.train.trainer import Trainer
-
-    rng = np.random.default_rng(0)
-    samples = make_dataset(os.path.join(root, "data"), rng)
-    cfg = TrainConfig(
-        grid=grid, model=model_name,
-        data=DataConfig(batch_size=batch),
-        optimizer="adam", learning_rate=3e-4,
-        lr_decay_step=2500, lr_gamma=0.3,
-        max_iter=steps, snapshot_every=0,
-        snapshot_dir=os.path.join(root, "snap"), log_every=10**9)
-    model = build(model_name, dtype=jnp.bfloat16, **(model_kwargs or {}))
-    trainer = Trainer(cfg, model=model, with_seg=with_seg,
-                      steps_per_dispatch=n_cached, log_sink=lambda s: None)
-    pipe = CompositeTrainPipeline(samples, grid, DataConfig(batch_size=batch),
-                                  box_capacity=4, seed=1)
-    cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
-    state = trainer.fit(iter(cache), max_iter=steps, resume=False)
-    test_pipe = CompositeTrainPipeline(samples, grid,
-                                       DataConfig(batch_size=16),
-                                       box_capacity=4, seed=99)
-    return state, model, test_pipe.batch(16)
-
-
-def _map_synthetic(steps=2000, batch=16, n_cached=25):
-    """Flagship train on the synthetic compositing dataset at the
-    deploy geometry (448x448 s16, models/deploy.prototxt:1-7), then
-    held-out mAP@0.5 with the exact and fp8-serving detectors.
-
-    Config chosen by sweep: 448x448 reaches mAP@0.5 0.99 at
-    2000 steps and drifts DOWN with more epochs over the fixed cache
-    (0.95 @ 4000, 0.91 @ 7000); 224x224 plateaus near 0.47."""
-    import jax.numpy as jnp
-    from tpufcn.core.config import GridConfig
-    from tpufcn.serve.detector import Detector
-    from tpufcn.train.evaluate import evaluate_detections
-
-    grid = GridConfig(im_width=448, im_height=448, stride=16, num_classes=1)
-    state, _, tb = _train_synthetic(
-        "googlenet_detectnet_1cls", grid, "/tmp/tpufcn_bench_map",
-        steps=steps, batch=batch, n_cached=n_cached)
-    gts = []
-    for i in range(tb["image"].shape[0]):
-        v = tb["valid"][i]
-        r = tb["rects"][i][v]
-        corners = np.concatenate([r[:, :2], r[:, :2] + r[:, 2:4]], axis=1)
-        gts.append((corners, tb["labels"][i][v]))
-
-    maps = {}
-    for tag, kw in (("exact", {}),
-                    ("fp8", {"store_dtype": jnp.float8_e5m2,
-                             "store_blocks": True, "store_stem2": True})):
-        det = Detector("googlenet_detectnet_1cls", dtype=jnp.bfloat16,
-                       max_candidates=128, model_kwargs=kw)
-        det.params = state.params
-        res = det(tb["image"]).to_lists()
-        dets_all = []
-        for items in res:
-            boxes = np.asarray([b for b, _, _ in items],
-                               np.float64).reshape(-1, 4)
-            labels = np.asarray([l for _, l, _ in items], np.int64)
-            scores = np.asarray([c for _, _, c in items], np.float64)
-            dets_all.append((boxes, labels, scores))
-        ev = evaluate_detections(gts, dets_all, num_classes=1,
-                                 iou_thresh=0.5)
-        maps[tag] = round(float(ev["mAP"]), 4)
-    return maps
-
-
-def _seg_miou_synthetic(steps=2000, batch=16, n_cached=25):
-    """FCN-32s seg (C19) trained on the synthetic compositing dataset
-    at its 224x224 deploy geometry, scored with held-out mean-IoU —
-    the seg-family analog of _map_synthetic (BASELINE.md row 3).
-    Measured 0.89 mean-IoU / 0.94 pixel accuracy at 2,000 steps; the
-    e5m2-serving model (fcn32s_seg_serving, same trained params) is
-    scored alongside so the seg serving mode's accuracy is on record."""
+def _flops_per_img(infer, params, frames):
+    """Model FLOPs per image from the compiled graph's cost analysis
+    (XLA's own count over the EXACT bf16 graph — the 'useful FLOPs'
+    numerator of MFU).  None when the backend can't report it."""
     import jax
-    import jax.numpy as jnp
-    from tpufcn.core.config import GridConfig
-    from tpufcn.models import build
-    from tpufcn.ops.image import demean_bgr
-    from tpufcn.train.evaluate import evaluate_segmentation
+    try:
+        c = jax.jit(infer).lower(params, frames).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        f = float(c.get("flops", 0.0))
+        return f / frames.shape[0] if f > 0 else None
+    except Exception:
+        return None
 
-    C = 2  # background + the synthetic object class
-    grid = GridConfig(224, 224, stride=16, num_classes=C)
-    state, model, tb = _train_synthetic(
-        "fcn32s_seg", grid, "/tmp/tpufcn_bench_seg", with_seg=True,
-        steps=steps, batch=batch, n_cached=n_cached,
-        model_kwargs={"num_classes": C})
 
-    mious = {}
-    for tag, m in (("exact", model),
-                   ("fp8", build("fcn32s_seg_serving", dtype=jnp.bfloat16,
-                                 num_classes=C))):
-        @jax.jit
-        def seg_fwd(p, x, m=m):
-            logits = m.apply(
-                p, demean_bgr(jnp.asarray(x, jnp.float32)))["seg"]
-            return jnp.argmax(logits, axis=-1)
-
-        preds = np.asarray(seg_fwd(state.params, tb["image"]))
-        res = evaluate_segmentation(list(tb["seg"]), list(preds),
-                                    num_classes=C)
-        mious[tag] = round(float(res["mean_iou"]), 4)
-    return mious
+def _mfu_pct(flops_per_img, img_per_sec):
+    if not flops_per_img:
+        return None
+    return round(flops_per_img * img_per_sec / PEAK_BF16_FLOPS * 100.0, 2)
 
 
 def _train_throughput(batch=32, steps_per_dispatch=20, reps=4):
@@ -240,6 +157,30 @@ def _train_throughput(batch=32, steps_per_dispatch=20, reps=4):
     return batch / best
 
 
+def _seg_forward(model_name, num_classes=12):
+    """fcn32s serving surface: demean + forward + argmax (the seg
+    family has no decode/NMS stage)."""
+    import jax.numpy as jnp
+    from tpufcn.models import build
+    from tpufcn.ops.image import demean_bgr
+
+    model = build(model_name, dtype=jnp.bfloat16, num_classes=num_classes)
+
+    def infer(p, x):
+        logits = model.apply(p, demean_bgr(x.astype(jnp.float32)))["seg"]
+        return jnp.argmax(logits, axis=-1)
+
+    return model, infer
+
+
+def _gates():
+    """The tracked accuracy gates on the hard synthetic benchmark
+    (tpufcn/train/gates.py; VERDICT round-2 #1).  Trains each family —
+    dominates bench wall time; BENCH_SKIP_GATES=1 to skip."""
+    from tpufcn.train.gates import run_bench_gates
+    return run_bench_gates(root="/tmp/tpufcn_hardgate", log=_progress)
+
+
 def _wait_for_backend():
     """Bounded wait for a reachable jax backend before any in-process use.
 
@@ -250,7 +191,6 @@ def _wait_for_backend():
     (deadline via BENCH_TPU_WAIT_S, default 2 h), keeping stdout clean for
     the single JSON result line."""
     import subprocess
-    import sys
 
     deadline_s = float(os.environ.get("BENCH_TPU_WAIT_S", 7200))
     t0 = time.time()
@@ -270,8 +210,8 @@ def _wait_for_backend():
                 f"bench: jax backend unreachable after {int(waited)}s "
                 "(TPU tunnel outage — see CLAUDE.md); raise "
                 "BENCH_TPU_WAIT_S to wait longer")
-        print(f"bench: backend probe failed ({int(waited)}s elapsed); "
-              "TPU tunnel likely down, retrying in 60s", file=sys.stderr)
+        _progress(f"backend probe failed ({int(waited)}s elapsed); "
+                  "TPU tunnel likely down, retrying in 60s")
         time.sleep(60)
 
 
@@ -285,57 +225,129 @@ def main():
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 256, size=(batch, 448, 448, 3)).astype(np.uint8))
+    extra = {"batch": batch,
+             "mode": "e5m2_activation_storage_stem+blocks"}
 
     # headline: serving configuration (fp8 stem activation storage)
+    _progress("flagship serving throughput")
     det = Detector("googlenet_detectnet_serving", dtype=jnp.bfloat16,
                    max_candidates=256)
     dt = _time_loop(det._infer_impl, det.params, frames)
     imgs_per_sec = batch / dt
 
     # exact bf16 parity configuration
+    _progress("flagship exact throughput")
     det_x = Detector("googlenet_detectnet", dtype=jnp.bfloat16,
                      max_candidates=256, params=det.params)
     exact_ips = batch / _time_loop(det_x._infer_impl, det_x.params, frames)
+    extra["exact_bf16_img_per_sec"] = round(exact_ips, 1)
+    extra["mfu_pct"] = _mfu_pct(
+        _flops_per_img(det_x._infer_impl, det_x.params, frames),
+        imgs_per_sec)
 
     # single-frame (batch 1) device latency
     lat_ms = _time_loop(det._infer_impl, det.params, frames[:1]) * 1000.0
+    extra["p50_single_frame_ms"] = round(lat_ms, 3)
 
     # modern-backbone swap (BASELINE config #5)
+    _progress("resnet_fpn throughput")
     det_r = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
                      max_candidates=256,
                      model_kwargs={"store_dtype": jnp.float8_e5m2})
     resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
+    extra["resnet_fpn_img_per_sec"] = round(resnet_ips, 1)
+    det_rx = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
+                      max_candidates=256, params=det_r.params)
+    extra["resnet_fpn_mfu_pct"] = _mfu_pct(
+        _flops_per_img(det_rx._infer_impl, det_rx.params, frames),
+        resnet_ips)
+    del det_r, det_rx
 
     # VGG pyramid deploy net (C17, 20-class, 448²) — the reference's
     # heaviest serving graph, tracked at its measured-optimal batch 64
+    _progress("vgg_pyramid throughput")
     det_v = Detector("vgg_pyramid_detectnet_serving", dtype=jnp.bfloat16,
                      max_candidates=256)
     vgg_ips = 64 / _time_loop(det_v._infer_impl, det_v.params, frames[:64])
-    del det_v
+    extra["vgg_pyramid_img_per_sec"] = round(vgg_ips, 1)
+    det_vx = Detector("vgg_pyramid_detectnet", dtype=jnp.bfloat16,
+                      max_candidates=256, params=det_v.params)
+    extra["vgg_pyramid_exact_img_per_sec"] = round(
+        64 / _time_loop(det_vx._infer_impl, det_vx.params, frames[:64]), 1)
+    extra["vgg_pyramid_mfu_pct"] = _mfu_pct(
+        _flops_per_img(det_vx._infer_impl, det_vx.params, frames[:64]),
+        vgg_ips)
+    del det_v, det_vx
 
-    train_ips = _train_throughput()
+    # FCN-8s bbox (C18, 11-cls, 288², B64, full detector pipeline) —
+    # serving preset quantizes backbone stages 1-2 only (BENCH.md)
+    _progress("fcn8s throughput")
+    f288 = jnp.asarray(rng.integers(0, 256, size=(64, 288, 288, 3)
+                                    ).astype(np.uint8))
+    det_f = Detector("fcn8s_bbox_serving", dtype=jnp.bfloat16,
+                     max_candidates=256)
+    extra["fcn8s_bbox_img_per_sec"] = round(
+        64 / _time_loop(det_f._infer_impl, det_f.params, f288), 1)
+    det_fx = Detector("fcn8s_bbox", dtype=jnp.bfloat16,
+                      max_candidates=256, params=det_f.params)
+    extra["fcn8s_bbox_exact_img_per_sec"] = round(
+        64 / _time_loop(det_fx._infer_impl, det_fx.params, f288), 1)
+    del det_f, det_fx, f288
 
-    maps = _map_synthetic()
-    seg_miou = _seg_miou_synthetic()
+    # FCN-32s seg (C19, 12-cls, 224², B128, fwd+argmax)
+    _progress("fcn32s throughput")
+    f224 = jnp.asarray(rng.integers(0, 256, size=(128, 224, 224, 3)
+                                    ).astype(np.uint8))
+    model_s, seg_infer = _seg_forward("fcn32s_seg_serving")
+    seg_params = jax.jit(model_s.init)(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
+    seg_scalar = lambda out: out.sum()            # noqa: E731
+    extra["fcn32s_seg_img_per_sec"] = round(
+        128 / _time_loop(seg_infer, seg_params, f224,
+                         out_scalar=seg_scalar), 1)
+    _, seg_infer_x = _seg_forward("fcn32s_seg")
+    extra["fcn32s_seg_exact_img_per_sec"] = round(
+        128 / _time_loop(seg_infer_x, seg_params, f224,
+                         out_scalar=seg_scalar), 1)
+    del f224, seg_params
+
+    _progress("train throughput")
+    extra["train_b32_img_per_sec"] = round(_train_throughput(), 1)
+
+    # hard-benchmark accuracy gates (trains 5 models; the long part)
+    if os.environ.get("BENCH_SKIP_GATES") != "1":
+        gates = _gates()
+        extra["gates"] = gates
+        # flat trend keys (artifact diffing round over round)
+        g = gates.get("googlenet", {})
+        extra["map_synthetic"] = g.get("exact", {}).get("mAP")
+        extra["map_synthetic_fp8"] = g.get("fp8", {}).get("mAP")
+        for fam in ("googlenet_3cls", "vgg_pyramid", "fcn8s"):
+            r = gates.get(fam, {})
+            extra[f"map_hard_{fam}"] = r.get("exact", {}).get("mAP")
+            extra[f"map_hard_{fam}_fp8"] = r.get("fp8", {}).get("mAP")
+        s = gates.get("fcn32s", {})
+        extra["seg_miou_synthetic"] = s.get("exact", {}).get("mIoU")
+        extra["seg_miou_synthetic_fp8"] = s.get("fp8", {}).get("mIoU")
+        # VOC fixture: the converter->records->train->eval flow on the
+        # committed photoreal-ish renders (non-compositor imagery)
+        _progress("voc fixture gate")
+        from tpufcn.train.gates import voc_fixture_gate
+        try:
+            vocr = voc_fixture_gate()
+        except Exception as e:   # noqa: BLE001 — fail-soft like run_bench_gates
+            vocr = {"error": f"{type(e).__name__}: {e}"}
+        extra["voc_fixture"] = vocr
+        extra["map_voc_fixture"] = vocr.get("mAP")
 
     baseline = 5000.0  # BASELINE.md north-star target
+    extra["device"] = str(jax.devices()[0])
     print(json.dumps({
         "metric": "448x448_images_per_sec_per_chip_fwd_decode_nms",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-        "extra": {"batch": batch,
-                  "mode": "e5m2_activation_storage_stem+blocks",
-                  "exact_bf16_img_per_sec": round(exact_ips, 1),
-                  "p50_single_frame_ms": round(lat_ms, 3),
-                  "resnet_fpn_img_per_sec": round(resnet_ips, 1),
-                  "vgg_pyramid_img_per_sec": round(vgg_ips, 1),
-                  "train_b32_img_per_sec": round(train_ips, 1),
-                  "map_synthetic": maps["exact"],
-                  "map_synthetic_fp8": maps["fp8"],
-                  "seg_miou_synthetic": seg_miou["exact"],
-                  "seg_miou_synthetic_fp8": seg_miou["fp8"],
-                  "device": str(jax.devices()[0])},
+        "extra": extra,
     }))
 
 

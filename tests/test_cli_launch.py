@@ -741,3 +741,10 @@ def test_cli_profile(tmp_path, rng, capsys):
         assert len(rec["ops"]) >= 1
     finally:
         del registry._REGISTRY["_profile_test"]
+
+
+def test_cli_gates_rejects_unknown_family():
+    """`cli gates` validates family names before any training starts."""
+    from tpufcn.cli import main
+    with pytest.raises(SystemExit, match="unknown families"):
+        main(["gates", "--family", "nonesuch"])

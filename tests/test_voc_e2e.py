@@ -101,3 +101,43 @@ def test_voc_records_train_eval_chain(tmp_path):
     assert res["images"] == 8
     assert set(res["ap"]) == {"0", "1", "2"}
     assert 0.0 <= res["mAP"] <= 1.0
+
+
+@pytest.mark.slow
+def test_voc_fixture_gate_smoke():
+    """The bench-tracked VOC-fixture gate harness end to end on a tiny
+    config: converts, shards, trains, scores the val split."""
+    import tempfile
+
+    from tpufcn.train.gates import voc_fixture_gate
+
+    with tempfile.TemporaryDirectory() as work:
+        res = voc_fixture_gate(steps=4, n_cached=2, batch=2,
+                               work_root=work)
+    assert set(res) >= {"mAP", "n_det", "val_images", "n_gt"}
+    assert res["val_images"] == 8
+    assert res["n_gt"] >= 8
+    assert 0.0 <= res["mAP"] <= 1.0
+
+
+def test_bench_gate_configs_mirror_serving_presets():
+    """Each family's gate serving_kwargs must equal the registry's
+    *_serving preset placement — the gate certifies the preset that
+    ships, not some other fp8 placement."""
+    import jax.numpy as jnp
+
+    from tpufcn.train.gates import bench_gate_configs
+
+    cfgs = bench_gate_configs()
+    e5m2 = jnp.float8_e5m2
+    assert cfgs["googlenet"]["serving_kwargs"] == {
+        "store_dtype": e5m2, "store_blocks": True, "store_stem2": True}
+    assert cfgs["vgg_pyramid"]["serving_kwargs"] == {"store_dtype": e5m2}
+    assert cfgs["fcn8s"]["serving_kwargs"] == {
+        "store_dtype": e5m2, "store_stages": 2}
+    # fcn8s is the high-variance family: multi-seed is required
+    assert len(cfgs["fcn8s"]["seeds"]) >= 3
+    # every detection gate must be powered and in the trackable regime
+    for name, c in cfgs.items():
+        if c["kind"] == "detection":
+            assert c["classes"] >= 3 and c["steps"] >= 2000

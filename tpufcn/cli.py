@@ -312,6 +312,29 @@ def _cmd_records(args):
     print(f"wrote {n} records to {args.out}-*.rec")
 
 
+def _cmd_gates(args):
+    import sys as _sys
+    from tpufcn.train.gates import (
+        bench_gate_configs, run_bench_gates, voc_fixture_gate)
+
+    known = sorted(bench_gate_configs()) + ["voc_fixture"]
+    fams = args.family or known
+    unknown = sorted(set(fams) - set(known))
+    if unknown:
+        raise SystemExit(f"unknown families {unknown}; have {known}")
+    out = {}
+    if "voc_fixture" in fams:
+        out["voc_fixture"] = voc_fixture_gate()
+        print(f"gate[voc_fixture]: {out['voc_fixture']}",
+              file=_sys.stderr)
+    hard = [f for f in fams if f != "voc_fixture"]
+    if hard:
+        out.update(run_bench_gates(
+            root=args.root, only=hard,
+            log=lambda m: print(m, file=_sys.stderr)))
+    print(json.dumps(out))
+
+
 def _cmd_voc(args):
     from tpufcn.data.voc import VOC_CLASSES, PascalVOC
     PascalVOC(args.voc_root,
@@ -911,6 +934,19 @@ def main(argv=None):
                         "names are skipped, as the reference converter "
                         "skips unknown names")
     v.set_defaults(fn=_cmd_voc)
+
+    ga = sub.add_parser(
+        "gates",
+        help="run the tracked accuracy gates: per-family trained "
+             "mAP/mIoU on the hard synthetic benchmark (exact vs "
+             "fp8-serving) and the VOC-fixture flow — TRAINS each "
+             "family, takes tens of minutes per family on TPU")
+    ga.add_argument("--family", nargs="*", default=None,
+                    help="subset: googlenet googlenet_3cls vgg_pyramid "
+                         "fcn8s fcn32s voc_fixture (default: all)")
+    ga.add_argument("--root", default="/tmp/tpufcn_hardgate",
+                    help="work/cache directory for the hard benchmark")
+    ga.set_defaults(fn=_cmd_gates)
 
     e = sub.add_parser("eval")
     e.add_argument("--manifest", required=True)

@@ -147,6 +147,145 @@ def detection_gate(model_name: str, *,
     return out
 
 
+FIXTURE_CLASSES = ("ball", "crate", "cone")
+
+
+def voc_fixture_gate(fixture_root: Optional[str] = None, *,
+                     steps: int = 3000, batch: int = 16,
+                     n_cached: int = 10, lr: float = 1e-4, seed: int = 0,
+                     work_root: str = "/tmp/tpufcn_vocgate"
+                     ) -> Dict[str, object]:
+    """Tracked mAP on the committed photoreal-ish VOC fixture
+    (tests/fixtures/voc_mini, rendered by examples/render_voc_fixture.py
+    — an image source INDEPENDENT of the training compositor): VOC
+    converter -> record shards -> vgg_detectnet_train training ->
+    held-out val-split mAP under the full serving pipeline.  This is
+    the reference's actual data flow (scripts/voc/create_train_val.py
+    -> create_training_lmdb.py -> caffe train) driven on non-compositor
+    imagery."""
+    import jax.numpy as jnp
+    from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
+    from tpufcn.data import DeviceBatchCache, create_detection_records
+    from tpufcn.data.manifest import read_voc_manifest
+    from tpufcn.data.pipeline import RecordTrainPipeline
+    from tpufcn.data.voc import PascalVOC
+    from tpufcn.models import build
+    from tpufcn.train.trainer import Trainer
+    from tpufcn.train.validate import (
+        detection_validator, val_set_from_voc)
+
+    if fixture_root is None:
+        fixture_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "tests", "fixtures",
+            "voc_mini")
+    man = os.path.join(work_root, "man")
+    PascalVOC(fixture_root, classes=FIXTURE_CLASSES).create(man)
+    rec = os.path.join(work_root, "rec", "ds")
+    create_detection_records(
+        read_voc_manifest(os.path.join(man, "train.txt")), rec)
+
+    grid = GridConfig(224, 224, stride=8, num_classes=11)
+    cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
+                      data=DataConfig(batch_size=batch),
+                      optimizer="adam", learning_rate=lr,
+                      lr_decay_step=max(steps // 2, 1), lr_gamma=0.3,
+                      max_iter=steps, snapshot_every=0,
+                      snapshot_dir=os.path.join(work_root, "snap"),
+                      log_every=10 ** 9, seed=seed)
+    model = build("vgg_detectnet_train", dtype=jnp.bfloat16)
+    trainer = Trainer(cfg, model=model, steps_per_dispatch=n_cached,
+                      log_sink=lambda s: None)
+    pipe = RecordTrainPipeline(rec, grid, batch_size=batch,
+                               seed=1000 + seed)
+    cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
+    state = trainer.fit(iter(cache), max_iter=steps, resume=False)
+
+    vi, vg = val_set_from_voc(os.path.join(man, "val.txt"), (224, 224))
+    res = detection_validator("vgg_detectnet_train", vi, vg,
+                              chunk=min(8, len(vi)))(state.params)
+    res["val_images"] = int(vi.shape[0])
+    res["n_gt"] = int(sum(len(g[1]) for g in vg))
+    return res
+
+
+def bench_gate_configs() -> Dict[str, dict]:
+    """The tracked per-family gate configurations (bench.py extras).
+
+    Step counts and learning rates are CALIBRATED (round 3, TPU runs)
+    to land each family in a trackable non-saturated regime on the hard
+    benchmark so the gate can trend in both directions — the round-2
+    gate saturated at mAP 1.0 and could not catch the fused-1x1 class
+    of regression.  Calibration results (mAP exact/fp8):
+    googlenet 0.646/0.637 @ 6k steps lr 3e-4; vgg_pyramid 0.328/0.307
+    @ 6k lr 1e-4 (lr 3e-4 DIVERGES to 0 detections — VGG-from-scratch
+    instability); fcn32s mIoU 0.887/0.888 @ 5k.  fp8 serving kwargs
+    mirror each family's ``*_serving`` registry preset (pinned by
+    tests/test_voc_e2e.py).  fcn8s runs 3 seeds (its gate is the
+    high-variance one — BENCH.md negative results) and reports
+    mean/min/max."""
+    import jax.numpy as jnp
+    e5m2 = jnp.float8_e5m2
+    return {
+        "googlenet": dict(
+            kind="detection", model="googlenet_detectnet",
+            classes=4, im=448, stride=16, steps=6000, n_cached=60,
+            seeds=(0,),
+            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
+                            "store_stem2": True}),
+        "googlenet_3cls": dict(
+            kind="detection", model="googlenet_detectnet_3cls",
+            classes=3, im=448, stride=16, steps=6000, n_cached=60,
+            seeds=(0,),
+            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
+                            "store_stem2": True}),
+        "vgg_pyramid": dict(
+            kind="detection", model="vgg_pyramid_detectnet",
+            classes=4, im=448, stride=16, steps=6000, n_cached=60,
+            seeds=(0,), lr=1e-4,
+            serving_kwargs={"store_dtype": e5m2}),
+        "fcn8s": dict(
+            kind="detection", model="fcn8s_bbox",
+            classes=4, im=288, stride=8, steps=12000, n_cached=90,
+            seeds=(0, 1, 2), with_seg=True,
+            serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
+        "fcn32s": dict(
+            kind="segmentation", steps=5000, n_cached=60, seeds=(0,)),
+    }
+
+
+def run_bench_gates(root: str = DEFAULT_ROOT,
+                    only: Optional[Sequence[str]] = None,
+                    log=print) -> Dict[str, dict]:
+    """Run every tracked family gate; -> {family: gate result dict}.
+
+    Fail-soft per family: one family's failure is reported as
+    {"error": ...} instead of aborting the whole bench run (the
+    headline JSON line must still print)."""
+    import time as _t
+    import traceback
+    out = {}
+    for name, cfg in bench_gate_configs().items():
+        if only is not None and name not in only:
+            continue
+        cfg = dict(cfg)
+        kind = cfg.pop("kind")
+        t0 = _t.time()
+        try:
+            if kind == "segmentation":
+                res = segmentation_gate(root=root, **cfg)
+            else:
+                model = cfg.pop("model")
+                res = detection_gate(model, root=root, **cfg)
+        except Exception as e:   # noqa: BLE001 — report, don't abort
+            log(traceback.format_exc())
+            res = {"error": f"{type(e).__name__}: {e}"}
+        res["wall_s"] = round(_t.time() - t0, 1)
+        out[name] = res
+        log(f"gate[{name}]: {res}")
+    return out
+
+
 def segmentation_gate(model_name: str = "fcn32s_seg", *,
                       serving_name: str = "fcn32s_seg_serving",
                       classes: int = 4,

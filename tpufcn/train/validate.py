@@ -171,15 +171,8 @@ def val_set_from_records(prefix: str, hw: Tuple[int, int],
     return np.stack(images), gts
 
 
-def val_set_from_manifest(path: str, hw: Tuple[int, int],
-                          limit: Optional[int] = None):
-    """Held-out detection set from a ``path x y w h label`` manifest
-    (1-based labels, the reference train.txt convention)."""
+def _samples_to_val_set(samples, hw: Tuple[int, int], src: str):
     import cv2 as cv
-    from tpufcn.data.manifest import read_detection_manifest
-    samples = read_detection_manifest(path)
-    if limit is not None:
-        samples = samples[:limit]
     images, gts = [], []
     for s in samples:
         img = cv.imread(s.image_path)
@@ -189,8 +182,27 @@ def val_set_from_manifest(path: str, hw: Tuple[int, int],
         images.append(img)
         gts.append((corners, np.asarray(s.labels, np.int64)))
     if not images:
-        raise ValueError(f"no readable images in {path}")
+        raise ValueError(f"no readable images in {src}")
     return np.stack(images), gts
+
+
+def val_set_from_manifest(path: str, hw: Tuple[int, int],
+                          limit: Optional[int] = None):
+    """Held-out detection set from a ``path x y w h label`` manifest
+    (1-based labels, the reference train.txt convention)."""
+    from tpufcn.data.manifest import read_detection_manifest
+    samples = read_detection_manifest(path)
+    return _samples_to_val_set(samples[:limit], hw, path)
+
+
+def val_set_from_voc(path: str, hw: Tuple[int, int],
+                     limit: Optional[int] = None):
+    """Held-out detection set from a VOC converter manifest (the
+    comma-grouped multi-box format, 0-based labels — `cli voc`
+    output)."""
+    from tpufcn.data.manifest import read_voc_manifest
+    samples = read_voc_manifest(path)
+    return _samples_to_val_set(samples[:limit], hw, path)
 
 
 def seg_val_set_from_manifest(path: str, hw: Tuple[int, int],
