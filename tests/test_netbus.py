@@ -214,15 +214,18 @@ def test_multi_process_capture_graph(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
         [sys.executable, "-m", "tpufcn.cli", "launch", str(spec_path),
-         "--bus", handle.address, "--nodes", "capture", "--serve", "20"],
+         "--bus", handle.address, "--nodes", "capture", "--serve", "60"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     try:
         pub = RemoteTopicBus(handle.address)
         img = np.full((8, 8, 3), 127, np.uint8)
         wrote = False
-        # retry-publish until the remote node's SUB has registered
-        for i in range(200):
+        # retry-publish until the remote node's SUB has registered.
+        # Generous ceiling: on a loaded 1-core host the node process
+        # can take >20 s just to import jax before it subscribes
+        # (observed flake when a TPU training run shared the core).
+        for i in range(450):
             stamp = float(i)
             pub.publish("/camera/rgb/image_rect_color", img, stamp=stamp)
             pub.publish("/object_rect", (1, 1, 4, 4), stamp=stamp)
