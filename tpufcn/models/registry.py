@@ -146,11 +146,13 @@ register("fcn8s_bbox_serving", ModelSpec(
     # e5m2 activation storage on backbone stages 1-2 ONLY (the
     # bandwidth-heavy large-spatial stages — they carry ~the whole
     # throughput win, +10.2%): FULL-backbone quantization measured
-    # below exact on trained mAP in every gate run, while stages-1-2
-    # matches exact on the better-converged gate (BENCH.md; the
-    # synthetic fcn8s gate is noisier than the other families' — gate
-    # on your own data before serving this preset).  Same param tree
-    # as fcn8s_bbox (checkpoints interchange).
+    # below exact on trained mAP in every gate run.  Measured accuracy
+    # cost of stages-1-2 on the powered round-3 hard-bench gate
+    # (449 detections, 3 seeds, paired): a small but CONSISTENT
+    # ~0.02 mAP (-0.020/-0.027/-0.014 per seed) below exact — ~8%
+    # relative on this family; see BENCH.md.  Gate on your own data
+    # before serving this preset.  Same param tree as fcn8s_bbox
+    # (checkpoints interchange).
     factory=lambda dtype=jnp.bfloat16, **kw: FCN8sBBox(
         num_classes=kw.pop("num_classes", 11), dtype=dtype,
         store_dtype=kw.pop("store_dtype", jnp.float8_e5m2),
