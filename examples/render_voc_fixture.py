@@ -232,7 +232,7 @@ def _write_xml(path, idx, objs):
         f.write("".join(parts))
 
 
-def render_fixture(root: str, n_train: int = 16, n_val: int = 8,
+def render_fixture(root: str, n_train: int = 48, n_val: int = 24,
                    seed: int = 20260819) -> None:
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(root, "JPEGImages")

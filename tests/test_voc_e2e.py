@@ -36,7 +36,7 @@ def test_fixture_layout_and_annotations():
     img_dir = os.path.join(FIXTURE, "JPEGImages")
     ann_dir = os.path.join(FIXTURE, "Annotations")
     ids = sorted(os.path.splitext(f)[0] for f in os.listdir(ann_dir))
-    assert len(ids) == 24      # 16 train + 8 val
+    assert len(ids) == 72      # 48 train + 24 val
     names = set()
     import cv2 as cv
     for idx in ids:
@@ -79,15 +79,15 @@ def test_voc_records_train_eval_chain(tmp_path):
          "--classes", "ball", "crate", "cone")
     train_txt = man / "train.txt"
     val_txt = man / "val.txt"
-    assert len(train_txt.read_text().splitlines()) == 16
-    assert len(val_txt.read_text().splitlines()) == 8
+    assert len(train_txt.read_text().splitlines()) == 48
+    assert len(val_txt.read_text().splitlines()) == 24
 
     _cli("records", "--manifest", str(train_txt), "--format", "voc",
          "--out", str(tmp_path / "rec" / "ds"))
     inspect = _cli("records", "--inspect", "--limit", "2",
                    "--out", str(tmp_path / "rec" / "ds"))
     lines = [json.loads(l) for l in inspect.splitlines()]
-    assert lines[-1]["records"] == 16
+    assert lines[-1]["records"] == 48
     assert all(l["labels"] for l in lines[:-1])
 
     _cli("train", "--recipe", "bounding_box",
@@ -98,7 +98,7 @@ def test_voc_records_train_eval_chain(tmp_path):
                "--model", "vgg_detectnet_train",
                "--weights", str(tmp_path / "snap"))
     res = json.loads(out.splitlines()[-1])
-    assert res["images"] == 8
+    assert res["images"] == 24
     assert set(res["ap"]) == {"0", "1", "2"}
     assert 0.0 <= res["mAP"] <= 1.0
 
@@ -115,8 +115,8 @@ def test_voc_fixture_gate_smoke():
         res = voc_fixture_gate(steps=4, n_cached=2, batch=2,
                                work_root=work)
     assert set(res) >= {"mAP", "n_det", "val_images", "n_gt"}
-    assert res["val_images"] == 8
-    assert res["n_gt"] >= 8
+    assert res["val_images"] == 24
+    assert res["n_gt"] >= 30
     assert 0.0 <= res["mAP"] <= 1.0
 
 
