@@ -173,12 +173,32 @@ def _seg_forward(model_name, num_classes=12):
     return model, infer
 
 
-def _gates():
+GATES_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "GATES_LATEST.json")
+
+# Wall-clock ceiling for the whole gate phase (the families sum to
+# ~2.5 h of training at the calibrated configs).  Families that don't
+# fit the remaining budget are skipped with {"skipped": "budget"} —
+# a predictable partial result beats an external timeout killing the
+# process before the headline JSON line prints.
+GATE_BUDGET_S = float(os.environ.get("BENCH_GATE_BUDGET_S", 12600))
+VOC_GATE_EST_S = 1600   # measured 1475.5 s on the tripled fixture
+
+
+def _write_gates_partial(results):
+    """Persist gate results incrementally (survives a mid-run kill)."""
+    with open(GATES_PARTIAL_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def _gates(deadline):
     """The tracked accuracy gates on the hard synthetic benchmark
     (tpufcn/train/gates.py; VERDICT round-2 #1).  Trains each family —
-    dominates bench wall time; BENCH_SKIP_GATES=1 to skip."""
+    dominates bench wall time; BENCH_SKIP_GATES=1 to skip,
+    BENCH_GATE_BUDGET_S bounds the phase."""
     from tpufcn.train.gates import run_bench_gates
-    return run_bench_gates(root="/tmp/tpufcn_hardgate", log=_progress)
+    return run_bench_gates(root="/tmp/tpufcn_hardgate", log=_progress,
+                           deadline=deadline, sink=_write_gates_partial)
 
 
 def _wait_for_backend():
@@ -286,12 +306,17 @@ def main():
                                     ).astype(np.uint8))
     det_f = Detector("fcn8s_bbox_serving", dtype=jnp.bfloat16,
                      max_candidates=256)
-    extra["fcn8s_bbox_img_per_sec"] = round(
-        64 / _time_loop(det_f._infer_impl, det_f.params, f288), 1)
+    fcn8s_ips = 64 / _time_loop(det_f._infer_impl, det_f.params, f288)
+    extra["fcn8s_bbox_img_per_sec"] = round(fcn8s_ips, 1)
     det_fx = Detector("fcn8s_bbox", dtype=jnp.bfloat16,
                       max_candidates=256, params=det_f.params)
     extra["fcn8s_bbox_exact_img_per_sec"] = round(
         64 / _time_loop(det_fx._infer_impl, det_fx.params, f288), 1)
+    # MFU convention (matches the flagship): useful FLOPs from the
+    # EXACT bf16 graph x the tracked serving throughput
+    extra["fcn8s_bbox_mfu_pct"] = _mfu_pct(
+        _flops_per_img(det_fx._infer_impl, det_fx.params, f288),
+        fcn8s_ips)
     del det_f, det_fx, f288
 
     # FCN-32s seg (C19, 12-cls, 224², B128, fwd+argmax)
@@ -302,21 +327,29 @@ def main():
     seg_params = jax.jit(model_s.init)(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     seg_scalar = lambda out: out.sum()            # noqa: E731
-    extra["fcn32s_seg_img_per_sec"] = round(
-        128 / _time_loop(seg_infer, seg_params, f224,
-                         out_scalar=seg_scalar), 1)
+    seg_ips = 128 / _time_loop(seg_infer, seg_params, f224,
+                               out_scalar=seg_scalar)
+    extra["fcn32s_seg_img_per_sec"] = round(seg_ips, 1)
     _, seg_infer_x = _seg_forward("fcn32s_seg")
     extra["fcn32s_seg_exact_img_per_sec"] = round(
         128 / _time_loop(seg_infer_x, seg_params, f224,
                          out_scalar=seg_scalar), 1)
+    extra["fcn32s_seg_mfu_pct"] = _mfu_pct(
+        _flops_per_img(seg_infer_x, seg_params, f224), seg_ips)
     del f224, seg_params
 
     _progress("train throughput")
     extra["train_b32_img_per_sec"] = round(_train_throughput(), 1)
+    # per-chip training optimum (BENCH.md batch sweep: B128 is the
+    # throughput knee on v5e; tracked so a codegen shift is visible)
+    _progress("train throughput B128")
+    extra["train_b128_img_per_sec"] = round(
+        _train_throughput(batch=128, steps_per_dispatch=10), 1)
 
     # hard-benchmark accuracy gates (trains 5 models; the long part)
     if os.environ.get("BENCH_SKIP_GATES") != "1":
-        gates = _gates()
+        deadline = time.time() + GATE_BUDGET_S
+        gates = _gates(deadline)
         extra["gates"] = gates
         # flat trend keys (artifact diffing round over round)
         g = gates.get("googlenet", {})
@@ -331,14 +364,20 @@ def main():
         extra["seg_miou_synthetic_fp8"] = s.get("fp8", {}).get("mIoU")
         # VOC fixture: the converter->records->train->eval flow on the
         # committed photoreal-ish renders (non-compositor imagery)
-        _progress("voc fixture gate")
-        from tpufcn.train.gates import voc_fixture_gate
-        try:
-            vocr = voc_fixture_gate()
-        except Exception as e:   # noqa: BLE001 — fail-soft like run_bench_gates
-            vocr = {"error": f"{type(e).__name__}: {e}"}
+        if time.time() + VOC_GATE_EST_S > deadline:
+            vocr = {"skipped": "budget", "est_s": VOC_GATE_EST_S}
+            _progress("voc fixture gate skipped — budget")
+        else:
+            _progress("voc fixture gate")
+            from tpufcn.train.gates import voc_fixture_gate
+            try:
+                vocr = voc_fixture_gate()
+            except Exception as e:   # noqa: BLE001 — fail-soft like run_bench_gates
+                vocr = {"error": f"{type(e).__name__}: {e}"}
         extra["voc_fixture"] = vocr
         extra["map_voc_fixture"] = vocr.get("mAP")
+        gates["voc_fixture"] = vocr
+        _write_gates_partial(gates)
 
     baseline = 5000.0  # BASELINE.md north-star target
     extra["device"] = str(jax.devices()[0])

@@ -100,6 +100,38 @@ def test_eval_set_counts_and_determinism(tmp_path):
     assert all(np.array_equal(a[0], b[0]) for a, b in zip(gts, gts2))
 
 
+def test_run_bench_gates_budget_skip(tmp_path):
+    """A deadline that no family's calibrated est_s fits inside skips
+    EVERY gate (no training starts) and still reports one entry per
+    family — the degraded-but-reported behavior bench.py relies on so
+    an external timeout can't kill the process mid-gate."""
+    import time
+
+    from tpufcn.train.gates import bench_gate_configs, run_bench_gates
+
+    sunk = []
+    out = run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                          deadline=time.time() + 1.0, sink=sunk.append)
+    assert set(out) == set(bench_gate_configs())
+    for name, res in out.items():
+        assert res == {"skipped": "budget",
+                       "est_s": bench_gate_configs()[name]["est_s"]}
+    # nothing ran, so the after-each-family sink never fired
+    assert sunk == []
+
+
+def test_gate_configs_have_cost_estimates():
+    """Every tracked gate carries a calibrated wall-time estimate (the
+    budget fitter is only as good as its costs) and the run order puts
+    the most expensive family last so budgets degrade gracefully."""
+    from tpufcn.train.gates import bench_gate_configs
+
+    cfgs = bench_gate_configs()
+    ests = [c["est_s"] for c in cfgs.values()]
+    assert all(e > 0 for e in ests)
+    assert max(ests) == list(cfgs.values())[-1]["est_s"]
+
+
 @pytest.mark.slow
 def test_detection_gate_smoke(tmp_path):
     """End-to-end gate harness on a tiny config (CPU): trains, scores,

@@ -227,53 +227,78 @@ def bench_gate_configs() -> Dict[str, dict]:
     mirror each family's ``*_serving`` registry preset (pinned by
     tests/test_voc_e2e.py).  fcn8s runs 3 seeds (its gate is the
     high-variance one — BENCH.md negative results) and reports
-    mean/min/max."""
+    mean/min/max.
+
+    ``est_s`` is each gate's CALIBRATED wall time on an uncontended
+    TPU (round-3 calibration runs, rounded up) — run_bench_gates uses
+    it to fit families into a wall-clock budget.  Dict order = run
+    priority: the headline-family gate first, cheap gates next, the
+    3-seed fcn8s gate (the most expensive) last, so a tight budget
+    degrades by dropping the costliest gates rather than being killed
+    mid-run with nothing reported."""
     import jax.numpy as jnp
     e5m2 = jnp.float8_e5m2
     return {
         "googlenet": dict(
             kind="detection", model="googlenet_detectnet",
             classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,),
+            seeds=(0,), est_s=1300,
             serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
                             "store_stem2": True}),
+        "fcn32s": dict(
+            kind="segmentation", steps=5000, n_cached=60, seeds=(0,),
+            est_s=600),
         "googlenet_3cls": dict(
             kind="detection", model="googlenet_detectnet_3cls",
             classes=3, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,), lr=2e-4,
+            seeds=(0,), lr=2e-4, est_s=850,
             serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
                             "store_stem2": True}),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
             classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,), lr=1e-4,
+            seeds=(0,), lr=1e-4, est_s=700,
             serving_kwargs={"store_dtype": e5m2}),
         "fcn8s": dict(
             kind="detection", model="fcn8s_bbox",
             classes=4, im=288, stride=8, steps=12000, n_cached=90,
-            seeds=(0, 1, 2), with_seg=True,
+            seeds=(0, 1, 2), with_seg=True, est_s=5400,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
-        "fcn32s": dict(
-            kind="segmentation", steps=5000, n_cached=60, seeds=(0,)),
     }
 
 
 def run_bench_gates(root: str = DEFAULT_ROOT,
                     only: Optional[Sequence[str]] = None,
-                    log=print) -> Dict[str, dict]:
+                    log=print,
+                    deadline: Optional[float] = None,
+                    sink=None) -> Dict[str, dict]:
     """Run every tracked family gate; -> {family: gate result dict}.
 
     Fail-soft per family: one family's failure is reported as
     {"error": ...} instead of aborting the whole bench run (the
-    headline JSON line must still print)."""
+    headline JSON line must still print).
+
+    ``deadline`` (time.time() epoch seconds): a family whose
+    calibrated ``est_s`` does not fit in the remaining budget is
+    skipped with {"skipped": "budget"} instead of risking the whole
+    bench process being killed mid-gate by an external timeout —
+    config order is run priority, so tight budgets drop the most
+    expensive gates first.  ``sink(partial_results_dict)`` is called
+    after every family so partial results survive a kill."""
     import time as _t
     import traceback
-    out = {}
+    out: Dict[str, dict] = {}
     for name, cfg in bench_gate_configs().items():
         if only is not None and name not in only:
             continue
         cfg = dict(cfg)
         kind = cfg.pop("kind")
+        est_s = cfg.pop("est_s", 0)
+        if deadline is not None and _t.time() + est_s > deadline:
+            out[name] = {"skipped": "budget", "est_s": est_s}
+            log(f"gate[{name}]: skipped — est {est_s}s exceeds the "
+                f"remaining budget ({max(deadline - _t.time(), 0):.0f}s)")
+            continue
         t0 = _t.time()
         try:
             if kind == "segmentation":
@@ -287,6 +312,11 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
         res["wall_s"] = round(_t.time() - t0, 1)
         out[name] = res
         log(f"gate[{name}]: {res}")
+        if sink is not None:
+            try:
+                sink(dict(out))
+            except Exception as e:   # noqa: BLE001 — sink is best-effort
+                log(f"gate sink failed: {e}")
     return out
 
 
