@@ -184,11 +184,83 @@ GATES_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 GATE_BUDGET_S = float(os.environ.get("BENCH_GATE_BUDGET_S", 12600))
 VOC_GATE_EST_S = 1600   # measured 1475.5 s on the tripled fixture
 
+# Signal resilience: the gate phase makes a full run take hours — an
+# external harness timeout (SIGTERM) must not lose the headline that
+# was measured in the first ~13 minutes.  Once the headline number
+# exists, _pending holds the would-be result; a SIGTERM/SIGINT prints
+# it (with whatever gates completed, marked "interrupted") and exits,
+# and BENCH_PENDING.json mirrors it on disk against a SIGKILL.
+_pending = {}        # {"value": float, "extra": dict} once headline known
+_latest_gates = {}   # most recent per-family gate results (partial ok)
+PENDING_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PENDING.json")
+
+
+def _flatten_gate_keys(gates, extra):
+    """Flat per-family trend keys (artifact diffing round over round)."""
+    g = gates.get("googlenet", {})
+    extra["map_synthetic"] = g.get("exact", {}).get("mAP")
+    extra["map_synthetic_fp8"] = g.get("fp8", {}).get("mAP")
+    for fam in ("googlenet_3cls", "vgg_pyramid", "fcn8s"):
+        r = gates.get(fam, {})
+        extra[f"map_hard_{fam}"] = r.get("exact", {}).get("mAP")
+        extra[f"map_hard_{fam}_fp8"] = r.get("fp8", {}).get("mAP")
+    s = gates.get("fcn32s", {})
+    extra["seg_miou_synthetic"] = s.get("exact", {}).get("mIoU")
+    extra["seg_miou_synthetic_fp8"] = s.get("fp8", {}).get("mIoU")
+    if "voc_fixture" in gates:
+        extra["voc_fixture"] = gates["voc_fixture"]
+        extra["map_voc_fixture"] = gates["voc_fixture"].get("mAP")
+
+
+def _result_line():
+    """The single JSON result line from the current pending state."""
+    extra = dict(_pending["extra"])
+    if _latest_gates:
+        extra["gates"] = dict(_latest_gates)
+        _flatten_gate_keys(_latest_gates, extra)
+    baseline = 5000.0  # BASELINE.md north-star target
+    return json.dumps({
+        "metric": "448x448_images_per_sec_per_chip_fwd_decode_nms",
+        "value": round(_pending["value"], 1),
+        "unit": "images/sec",
+        "vs_baseline": round(_pending["value"] / baseline, 3),
+        "extra": extra,
+    })
+
+
+def _write_pending():
+    if _pending:
+        with open(PENDING_PATH, "w") as f:
+            f.write(_result_line() + "\n")
+
+
+def _on_signal(signum, frame):
+    """Print the best-known result line before dying (harness timeout)."""
+    if _pending:
+        _pending["extra"]["interrupted"] = f"signal {signum}"
+        print(_result_line(), flush=True)
+        os._exit(0)
+    os._exit(1)
+
+
+def _install_signal_flush():
+    import signal
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_signal)
+    # Trainer.fit (used by the gate phase) must NOT swap in its own
+    # cooperative-stop handlers here, or the harness's SIGTERM would be
+    # consumed by a training snapshot instead of flushing the result.
+    os.environ["TPUFCN_TRAIN_NO_SIGNAL_HANDLERS"] = "1"
+
 
 def _write_gates_partial(results):
     """Persist gate results incrementally (survives a mid-run kill)."""
+    global _latest_gates
+    _latest_gates = results
     with open(GATES_PARTIAL_PATH, "w") as f:
         json.dump(results, f, indent=1)
+    _write_pending()
 
 
 def _gates(deadline):
@@ -254,6 +326,14 @@ def main():
                    max_candidates=256)
     dt = _time_loop(det._infer_impl, det.params, frames)
     imgs_per_sec = batch / dt
+
+    # headline exists: from here on a SIGTERM/SIGINT flushes the
+    # best-known result line instead of losing the run (the gate phase
+    # below can run for hours under an external harness timeout)
+    extra["device"] = str(jax.devices()[0])
+    _pending.update({"value": imgs_per_sec, "extra": extra})
+    _install_signal_flush()
+    _write_pending()
 
     # exact bf16 parity configuration
     _progress("flagship exact throughput")
@@ -350,18 +430,6 @@ def main():
     if os.environ.get("BENCH_SKIP_GATES") != "1":
         deadline = time.time() + GATE_BUDGET_S
         gates = _gates(deadline)
-        extra["gates"] = gates
-        # flat trend keys (artifact diffing round over round)
-        g = gates.get("googlenet", {})
-        extra["map_synthetic"] = g.get("exact", {}).get("mAP")
-        extra["map_synthetic_fp8"] = g.get("fp8", {}).get("mAP")
-        for fam in ("googlenet_3cls", "vgg_pyramid", "fcn8s"):
-            r = gates.get(fam, {})
-            extra[f"map_hard_{fam}"] = r.get("exact", {}).get("mAP")
-            extra[f"map_hard_{fam}_fp8"] = r.get("fp8", {}).get("mAP")
-        s = gates.get("fcn32s", {})
-        extra["seg_miou_synthetic"] = s.get("exact", {}).get("mIoU")
-        extra["seg_miou_synthetic_fp8"] = s.get("fp8", {}).get("mIoU")
         # VOC fixture: the converter->records->train->eval flow on the
         # committed photoreal-ish renders (non-compositor imagery)
         if time.time() + VOC_GATE_EST_S > deadline:
@@ -374,20 +442,12 @@ def main():
                 vocr = voc_fixture_gate()
             except Exception as e:   # noqa: BLE001 — fail-soft like run_bench_gates
                 vocr = {"error": f"{type(e).__name__}: {e}"}
-        extra["voc_fixture"] = vocr
-        extra["map_voc_fixture"] = vocr.get("mAP")
         gates["voc_fixture"] = vocr
         _write_gates_partial(gates)
 
-    baseline = 5000.0  # BASELINE.md north-star target
-    extra["device"] = str(jax.devices()[0])
-    print(json.dumps({
-        "metric": "448x448_images_per_sec_per_chip_fwd_decode_nms",
-        "value": round(imgs_per_sec, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / baseline, 3),
-        "extra": extra,
-    }))
+    print(_result_line())
+    if os.path.exists(PENDING_PATH):
+        os.remove(PENDING_PATH)   # clean exit: the line is on stdout
 
 
 if __name__ == "__main__":

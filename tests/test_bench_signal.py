@@ -1,0 +1,144 @@
+"""bench.py signal resilience: a harness timeout (SIGTERM) during the
+multi-hour gate phase must flush the already-measured headline as the
+single JSON result line instead of losing the whole run, and
+BENCH_PENDING.json must mirror it on disk against a SIGKILL.
+
+Companion: Trainer.fit honors TPUFCN_TRAIN_NO_SIGNAL_HANDLERS=1 so the
+bench-level handler stays active through gate training (otherwise the
+cooperative-stop handler would consume the harness's SIGTERM as a
+training snapshot request).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+
+import cv2 as cv
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+from tpufcn.core.config import DataConfig, GridConfig, TrainConfig  # noqa: E402
+from tpufcn.data.manifest import MaskSample  # noqa: E402
+from tpufcn.models import build  # noqa: E402
+from tpufcn.train.trainer import Trainer  # noqa: E402
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    samples = []
+    for i in range(3):
+        img = rng.integers(0, 80, size=(96, 128, 3)).astype(np.uint8)
+        mask = np.zeros((96, 128), np.uint8)
+        x, y, w, h = 20 + i * 6, 16, 40, 48
+        img[y:y + h, x:x + w] = (200, 60 + 60 * i, 90)
+        mask[y:y + h, x:x + w] = 255
+        ip, mp = str(tmp_path / f"i{i}.png"), str(tmp_path / f"m{i}.png")
+        cv.imwrite(ip, img)
+        cv.imwrite(mp, mask)
+        samples.append(MaskSample(ip, mp, i % 2, np.array([x, y, w, h])))
+    return samples
+
+
+@pytest.fixture
+def pending_state(tmp_path, monkeypatch):
+    """Seed bench's module state as if the headline phase completed."""
+    monkeypatch.setattr(bench, "GATES_PARTIAL_PATH",
+                        str(tmp_path / "GATES_LATEST.json"))
+    monkeypatch.setattr(bench, "PENDING_PATH",
+                        str(tmp_path / "BENCH_PENDING.json"))
+    monkeypatch.setattr(bench, "_pending",
+                        {"value": 5123.4, "extra": {"batch": 128}})
+    monkeypatch.setattr(bench, "_latest_gates", {})
+    return tmp_path
+
+
+def test_pending_line_and_gate_merge(pending_state):
+    """_write_gates_partial persists both artifacts; the pending line is
+    the full result JSON with flat trend keys from the partial gates."""
+    # gate-less line first (the BENCH_SKIP_GATES=1 / pre-gate shape)
+    bench._write_pending()
+    line0 = json.loads(open(bench.PENDING_PATH).read())
+    assert "gates" not in line0["extra"]
+    assert line0["value"] == 5123.4
+
+    gates = {"googlenet": {"exact": {"mAP": 0.646}, "fp8": {"mAP": 0.637}},
+             "fcn32s": {"skipped": "budget", "est_s": 600}}
+    bench._write_gates_partial(gates)
+
+    saved = json.loads(open(bench.GATES_PARTIAL_PATH).read())
+    assert saved["googlenet"]["exact"]["mAP"] == 0.646
+
+    line = json.loads(open(bench.PENDING_PATH).read())
+    assert line["value"] == 5123.4
+    assert line["vs_baseline"] == pytest.approx(1.025, abs=1e-3)
+    assert line["extra"]["map_synthetic"] == 0.646
+    assert line["extra"]["map_synthetic_fp8"] == 0.637
+    assert line["extra"]["gates"]["fcn32s"]["skipped"] == "budget"
+    # families the partial run never reached flatten to None, not KeyError
+    assert line["extra"]["map_hard_vgg_pyramid"] is None
+
+
+def test_sigterm_flushes_result_line(tmp_path):
+    """A real SIGTERM to a bench process with a pending headline prints
+    the result line (marked interrupted) and exits 0."""
+    script = f"""
+import os, signal, sys
+sys.path.insert(0, {REPO!r})
+import bench
+bench.PENDING_PATH = {str(tmp_path / 'p.json')!r}
+bench._pending.update({{"value": 4321.0, "extra": {{"batch": 128}}}})
+bench._latest_gates.update(
+    {{"googlenet": {{"exact": {{"mAP": 0.65}}, "fp8": {{"mAP": 0.64}}}}}})
+bench._install_signal_flush()
+assert os.environ["TPUFCN_TRAIN_NO_SIGNAL_HANDLERS"] == "1"
+os.kill(os.getpid(), signal.SIGTERM)
+raise SystemExit("unreachable: handler should have exited")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["value"] == 4321.0
+    assert line["extra"]["interrupted"] == f"signal {signal.SIGTERM}"
+    assert line["extra"]["map_synthetic"] == 0.65
+
+
+def test_trainer_skips_handlers_under_env(tmp_path, tiny_dataset,
+                                          monkeypatch):
+    """With TPUFCN_TRAIN_NO_SIGNAL_HANDLERS=1 a SIGTERM mid-fit goes to
+    the OUTER handler and training runs to completion (no early stop)."""
+    from tpufcn.data.pipeline import CompositeTrainPipeline
+
+    monkeypatch.setenv("TPUFCN_TRAIN_NO_SIGNAL_HANDLERS", "1")
+    grid = GridConfig(im_width=64, im_height=64, stride=8, num_classes=2)
+    cfg = TrainConfig(
+        grid=grid, model="vgg_detectnet_train",
+        data=DataConfig(batch_size=2), snapshot_every=0, max_iter=3,
+        snapshot_dir=str(tmp_path / "sig"), log_every=1)
+    model = build("vgg_detectnet_train", dtype=jnp.float32, num_classes=2)
+    tr = Trainer(cfg, model=model, log_sink=lambda s: None)
+    pipe = CompositeTrainPipeline(tiny_dataset, grid,
+                                  DataConfig(batch_size=2), box_capacity=4)
+
+    seen = []
+    prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+    try:
+        def preempting(src):
+            for i, b in enumerate(src):
+                if i == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+        state = tr.fit(preempting(iter(pipe)), max_iter=3, resume=False)
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+    assert int(state.step) == 3          # NOT stopped early
+    assert seen == [signal.SIGTERM]      # outer handler saw the signal

@@ -301,9 +301,15 @@ class Trainer:
 
         stop_sig = []
         prev_handlers = {}
-        if threading.current_thread() is threading.main_thread():
+        if (threading.current_thread() is threading.main_thread()
+                and os.environ.get(
+                    "TPUFCN_TRAIN_NO_SIGNAL_HANDLERS") != "1"):
             # signal.signal is main-thread-only; worker-thread fits
-            # (bus nodes, tests) simply skip the handlers
+            # (bus nodes, tests) simply skip the handlers.  The env
+            # opt-out keeps an outer harness's own SIGTERM handler
+            # active through training (bench.py sets it so a timeout
+            # flushes the result line instead of being consumed by a
+            # cooperative training stop).
             for s in (signal.SIGTERM, signal.SIGINT):
                 prev_handlers[s] = signal.signal(
                     s, lambda signum, frame: stop_sig.append(signum))
