@@ -129,6 +129,26 @@ def test_bilinear_upsample_matches_torch_grouped_deconv(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_separable_upsample_matches_deconv(rng):
+    # The MXU-friendly two-matmul restructure must reproduce the
+    # depthwise-deconv path exactly for every reference Deconv config:
+    # fcn32s k32 s16 p8 (on the 14x14 stride-16 grid), fcn8s k16 s8 p4 /
+    # k8 s4 p2 / k4 s2 p1, and the pyramid's non-square grids.
+    from tpufcn.ops.caffe_layers import upsample_bilinear_separable
+    for k, s, p, n, c in [(32, 16, 8, 14, 12), (16, 8, 4, 9, 11),
+                          (8, 4, 2, 7, 44), (4, 2, 1, 5, 3)]:
+        x = rng.standard_normal((2, n, n, c), dtype=np.float32)
+        want = np.asarray(upsample_bilinear_caffe(jnp.asarray(x), k, s, p))
+        got = np.asarray(upsample_bilinear_separable(jnp.asarray(x), k, s, p))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # non-square spatial grid (H != W)
+    x = rng.standard_normal((1, 6, 9, 5), dtype=np.float32)
+    want = np.asarray(upsample_bilinear_caffe(jnp.asarray(x), 4, 2, 1))
+    got = np.asarray(upsample_bilinear_separable(jnp.asarray(x), 4, 2, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_bilinear_kernel_values():
     # k=4, f=2, c=0.75: 1-|x/2-0.75| over x=0..3 -> .25, .75, .75, .25
     k = np.asarray(bilinear_kernel(4))

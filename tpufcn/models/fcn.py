@@ -22,6 +22,12 @@ layer skips it (reference fcn_object_detector.py:89 reads ``[1:]``).
 train/semantic_segmentation/train_val.prototxt): VGG16 (note: **no**
 pool5 — score_fr consumes conv5_3 at stride 16) -> 1x1 ``score_fr`` ->
 fixed bilinear deconv k32 s16 p8 -> full-res logits.
+
+All fixed-bilinear Deconvs here use the separable two-matmul form
+(ops/caffe_layers.upsample_bilinear_separable): same numerics as the
+depthwise deconv (pinned by tests/test_caffe_layers.py) but lowered as
+two dense matmuls on the MXU — the ``group == C`` deconv was the
+fcn32s serving tail (33 % MFU, BENCH.md round-3).
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from tpufcn.models.layers import conv_relu, max_pool_caffe
-from tpufcn.ops.caffe_layers import upsample_bilinear_caffe
+from tpufcn.ops.caffe_layers import upsample_bilinear_separable
 from tpufcn.models.vgg import VGG16Backbone
 
 
@@ -58,20 +64,20 @@ class FCN8sBBox(nn.Module):
         # bbox branch (stride 8)
         sb = conv_relu(y, 4 * C, 1, name="score_conv5_bbox", relu=False,
                        dtype=self.dtype)
-        bboxes = upsample_bilinear_caffe(sb.astype(jnp.float32), 8, 4, 2)
+        bboxes = upsample_bilinear_separable(sb.astype(jnp.float32), 8, 4, 2)
 
         # seg branch: FCN-8s skip fusion
         s5 = conv_relu(y, C, 1, name="score_conv5", relu=False,
                        dtype=self.dtype).astype(jnp.float32)
-        up5 = upsample_bilinear_caffe(s5, 4, 2, 1)            # stride 16
+        up5 = upsample_bilinear_separable(s5, 4, 2, 1)            # stride 16
         s4 = conv_relu(taps["pool4"], C, 1, name="score_pool4", relu=False,
                        dtype=self.dtype).astype(jnp.float32)
         fuse4 = up5 + s4
-        up4 = upsample_bilinear_caffe(fuse4, 4, 2, 1)         # stride 8
+        up4 = upsample_bilinear_separable(fuse4, 4, 2, 1)         # stride 8
         s3 = conv_relu(taps["pool3"], C, 1, name="score_pool3", relu=False,
                        dtype=self.dtype).astype(jnp.float32)
         fuse3 = up4 + s3                                      # stride 8
-        seg = upsample_bilinear_caffe(fuse3, 16, 8, 4)        # full res
+        seg = upsample_bilinear_separable(fuse3, 16, 8, 4)        # full res
 
         coverage = nn.softmax(fuse3, axis=-1)
         return {"coverage": coverage, "bboxes": bboxes, "seg": seg}
@@ -94,5 +100,5 @@ class FCN32sSeg(nn.Module):
         # uses the LAYER name so .caffemodel blobs map 1:1.
         s = conv_relu(taps["conv5_3"], self.num_classes, 1, name="score_fr_6",
                       relu=False, dtype=self.dtype).astype(jnp.float32)
-        seg = upsample_bilinear_caffe(s, 32, 16, 8)           # full res
+        seg = upsample_bilinear_separable(s, 32, 16, 8)           # full res
         return {"seg": seg, "score": nn.softmax(seg, axis=-1)}

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from tpufcn.ops.caffe_layers import (
     avg_pool_caffe, lrn_across_channels, max_pool_caffe,
-    upsample_bilinear_caffe)
+    upsample_bilinear_separable)
 
 Dtype = Any
 
@@ -111,7 +111,9 @@ def upsample_factor(x, factor: int) -> jax.Array:
     'kernel 2*factor - factor%2, pad int(ceil((factor-1)/2.))')."""
     k = 2 * factor - factor % 2
     p = math.ceil((factor - 1) / 2.0)
-    return upsample_bilinear_caffe(x, k, factor, p)
+    # separable two-matmul form: same numerics (tests/test_caffe_layers
+    # parity), rides the MXU instead of lowering to C depthwise convs
+    return upsample_bilinear_separable(x, k, factor, p)
 
 
 class LRN(nn.Module):

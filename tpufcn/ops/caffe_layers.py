@@ -181,6 +181,52 @@ def bilinear_kernel(kernel_size: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(np.outer(v, v), dtype)
 
 
+def bilinear_upsample_matrix(in_size: int, kernel: int, stride: int,
+                             pad: int) -> np.ndarray:
+    """Dense (out, in) interpolation matrix of the 1-D bilinear
+    transposed conv: ``U[o, i] = v[o + pad - i*stride]`` for kernel
+    offsets inside ``[0, kernel)``, where ``v`` is the 1-D Caffe
+    bilinear filler (the 2-D filler is its outer product, so the 2-D
+    deconv separates into H- and W-matmuls).  out = (in-1)*s + k - 2p.
+    """
+    f = math.ceil(kernel / 2.0)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    v = 1.0 - np.abs(np.arange(kernel, dtype=np.float64) / f - c)
+    out = (in_size - 1) * stride + kernel - 2 * pad
+    kidx = (np.arange(out)[:, None] + pad
+            - np.arange(in_size)[None, :] * stride)
+    valid = (kidx >= 0) & (kidx < kernel)
+    return np.where(valid, v[np.clip(kidx, 0, kernel - 1)], 0.0
+                    ).astype(np.float32)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def upsample_bilinear_separable(x: jax.Array, kernel: int, stride: int,
+                                pad: int,
+                                high_precision: bool = True) -> jax.Array:
+    """Same math as :func:`upsample_bilinear_caffe`, restructured as two
+    dense matmuls (H then W) instead of a depthwise transposed conv.
+
+    TPU rationale: a ``group == C`` deconv with few channels (C = 12 for
+    FCN-32s seg) lowers to per-channel convolutions that leave the MXU
+    idle — measured 33 % MFU on the fcn32s serving graph where the
+    VGG stacks hit ~60 % (BENCH.md round-3 table).  The bilinear filler
+    is an outer product, so the 2-D interpolation separates exactly into
+    ``out = Uy @ S @ Ux^T`` per (batch, channel) — two dense matmuls
+    that ride the MXU and let XLA fuse the consumer (argmax in the seg
+    serving surface) instead of scheduling C tiny convolutions.
+    Numerics match the deconv path to f32 accumulation order.
+    """
+    h, w_in = x.shape[-3], x.shape[-2]
+    uy = jnp.asarray(bilinear_upsample_matrix(h, kernel, stride, pad))
+    ux = jnp.asarray(bilinear_upsample_matrix(w_in, kernel, stride, pad))
+    xf = x.astype(jnp.float32)
+    precision = jax.lax.Precision.HIGHEST if high_precision else None
+    y = jnp.einsum("yh,bhwc->bywc", uy, xf, precision=precision)
+    y = jnp.einsum("xw,bywc->byxc", ux, y, precision=precision)
+    return y.astype(x.dtype)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def upsample_bilinear_caffe(x: jax.Array, kernel: int, stride: int, pad: int,
                             high_precision: bool = True) -> jax.Array:

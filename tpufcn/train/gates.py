@@ -123,11 +123,16 @@ def detection_gate(model_name: str, *,
     if serving_kwargs:
         per_seed["fp8"] = []
     n_det = 0
+    train_s = eval_s = 0.0
+    import time as _t
     for seed in seeds:
+        t0 = _t.time()
         state = _train_hard(model_name, grid, root, classes=classes,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=with_seg,
                             model_kwargs=model_kwargs, lr=lr)
+        train_s += _t.time() - t0
+        t0 = _t.time()
         m, nd = _score_detector(model_name, state.params, grid, images,
                                 gts, classes, model_kwargs)
         per_seed["exact"].append(round(m, 4))
@@ -137,9 +142,12 @@ def detection_gate(model_name: str, *,
                                     images, gts, classes,
                                     {**model_kwargs, **serving_kwargs})
             per_seed["fp8"].append(round(m8, 4))
+        eval_s += _t.time() - t0
     out: Dict[str, object] = {"n_gt": n_gt, "n_det": n_det,
                               "eval_images": int(images.shape[0]),
-                              "seeds": list(seeds)}
+                              "seeds": list(seeds),
+                              "train_s": round(train_s, 1),
+                              "eval_s": round(eval_s, 1)}
     for tag, vals in per_seed.items():
         out[tag] = {"mAP": round(float(np.mean(vals)), 4),
                     "min": min(vals), "max": max(vals),
@@ -179,11 +187,14 @@ def voc_fixture_gate(fixture_root: Optional[str] = None, *,
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), "tests", "fixtures",
             "voc_mini")
+    import time as _t
+    t0 = _t.time()
     man = os.path.join(work_root, "man")
     PascalVOC(fixture_root, classes=FIXTURE_CLASSES).create(man)
     rec = os.path.join(work_root, "rec", "ds")
     create_detection_records(
         read_voc_manifest(os.path.join(man, "train.txt")), rec)
+    convert_s = _t.time() - t0
 
     grid = GridConfig(224, 224, stride=8, num_classes=11)
     cfg = TrainConfig(grid=grid, model="vgg_detectnet_train",
@@ -196,16 +207,23 @@ def voc_fixture_gate(fixture_root: Optional[str] = None, *,
     model = build("vgg_detectnet_train", dtype=jnp.bfloat16)
     trainer = Trainer(cfg, model=model, steps_per_dispatch=n_cached,
                       log_sink=lambda s: None)
+    t0 = _t.time()
     pipe = RecordTrainPipeline(rec, grid, batch_size=batch,
                                seed=1000 + seed)
     cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
+    compose_s = _t.time() - t0
+    t0 = _t.time()
     state = trainer.fit(iter(cache), max_iter=steps, resume=False)
+    train_s = _t.time() - t0
 
+    t0 = _t.time()
     vi, vg = val_set_from_voc(os.path.join(man, "val.txt"), (224, 224))
     res = detection_validator("vgg_detectnet_train", vi, vg,
                               chunk=min(8, len(vi)))(state.params)
     res["val_images"] = int(vi.shape[0])
     res["n_gt"] = int(sum(len(g[1]) for g in vg))
+    res.update(convert_s=round(convert_s, 1), compose_s=round(compose_s, 1),
+               train_s=round(train_s, 1), eval_s=round(_t.time() - t0, 1))
     return res
 
 
@@ -345,11 +363,16 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
                                      n_images=eval_images)
 
     per_seed: Dict[str, list] = {"exact": [], "fp8": []}
+    train_s = eval_s = 0.0
+    import time as _t
     for seed in seeds:
+        t0 = _t.time()
         state = _train_hard(model_name, grid, root, classes=classes,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=True,
                             model_kwargs={"num_classes": C})
+        train_s += _t.time() - t0
+        t0 = _t.time()
         for tag, name in (("exact", model_name), ("fp8", serving_name)):
             m = build(name, dtype=jnp.bfloat16, num_classes=C)
 
@@ -366,8 +389,11 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
             res = evaluate_segmentation(list(segs), list(np.concatenate(preds)),
                                         num_classes=C)
             per_seed[tag].append(round(float(res["mean_iou"]), 4))
+        eval_s += _t.time() - t0
     out: Dict[str, object] = {"eval_images": int(images.shape[0]),
-                              "seeds": list(seeds)}
+                              "seeds": list(seeds),
+                              "train_s": round(train_s, 1),
+                              "eval_s": round(eval_s, 1)}
     for tag, vals in per_seed.items():
         out[tag] = {"mIoU": round(float(np.mean(vals)), 4),
                     "min": min(vals), "max": max(vals),
