@@ -154,7 +154,21 @@ def _train_throughput(batch=32, steps_per_dispatch=20, reps=4):
         state, m = trainer.step_fn(state, b)
         _ = float(np.asarray(m["loss_total"][-1]))
         best = min(best, (time.perf_counter() - t0) / steps_per_dispatch)
-    return batch / best
+    ips = batch / best
+    # train MFU (VERDICT r03 #6): XLA's own FLOP count over the whole
+    # compiled multi-step graph (fwd + bwd + adam + on-device grid-label
+    # encode) / wall — same roofline basis as the serving MFUs
+    mfu = None
+    try:
+        c = trainer.step_fn.lower(state, b).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        f = float(c.get("flops", 0.0))
+        if f > 0:
+            mfu = _mfu_pct(f / (batch * steps_per_dispatch), ips)
+    except Exception:
+        pass
+    return ips, mfu
 
 
 def _seg_forward(model_name, num_classes=12):
@@ -176,13 +190,17 @@ def _seg_forward(model_name, num_classes=12):
 GATES_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "GATES_LATEST.json")
 
-# Wall-clock ceiling for the whole gate phase (the families sum to
-# ~2.5 h of training at the calibrated configs).  Families that don't
-# fit the remaining budget are skipped with {"skipped": "budget"} —
-# a predictable partial result beats an external timeout killing the
-# process before the headline JSON line prints.
-GATE_BUDGET_S = float(os.environ.get("BENCH_GATE_BUDGET_S", 12600))
-VOC_GATE_EST_S = 1600   # measured 1475.5 s on the tripled fixture
+# Wall-clock ceiling for the WHOLE bench process, measured from import
+# (round-3 lesson: the driver killed the run with only 2 of 6 gates
+# captured — its timeout bounds the whole process, so budgeting the
+# gate phase alone under-counts whatever the headline phase spent).
+# The r03 kill evidence bounds the driver's window at
+# headline (~13-15 min) + >= 825 s of gates, so 28 min of self-imposed
+# budget keeps the final JSON line comfortably inside it; the gate
+# phase gets whatever remains after the headline phase.
+# BENCH_GATE_BUDGET_S (a gate-phase-only ceiling) still overrides.
+_T_START = time.time()
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1680))
 
 # Signal resilience: the gate phase makes a full run take hours — an
 # external harness timeout (SIGTERM) must not lose the headline that
@@ -213,16 +231,58 @@ def _flatten_gate_keys(gates, extra):
         extra["map_voc_fixture"] = gates["voc_fixture"].get("mAP")
 
 
+TRACKED_GATES = ("fcn32s", "vgg16_pretrain", "vgg_pyramid",
+                 "googlenet_3cls", "voc_fixture", "googlenet", "fcn8s")
+EXPECT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_EXPECT.json")
+
+
+def _alerts(value, extra):
+    """Headline tripwire (VERDICT r03 #5): loud ALERT entries when the
+    headline slips under the 5,000 target or any tracked per-family
+    throughput regresses >5% vs the committed floors in
+    BENCH_EXPECT.json (update the floors when perf legitimately
+    moves).  Returned list lands in extra["ALERT"] and forces a
+    nonzero exit — a 2.4% headline margin needs a tripwire, not a
+    careful reader."""
+    out = []
+    try:
+        with open(EXPECT_PATH) as f:
+            expect = json.load(f)
+    except Exception:
+        return out
+    target = expect.get("headline_target", 5000.0)
+    if value < target:
+        out.append(f"headline {value:.1f} img/s BELOW target {target:.0f}")
+    for key, floor in expect.get("family_floors", {}).items():
+        got = extra.get(key)
+        if got is not None and got < floor * 0.95:
+            out.append(f"{key} {got:.1f} regressed >5% vs floor {floor:.1f}")
+    return out
+
+
 def _result_line():
     """The single JSON result line from the current pending state."""
     extra = dict(_pending["extra"])
     if _latest_gates:
         extra["gates"] = dict(_latest_gates)
         _flatten_gate_keys(_latest_gates, extra)
+    # self-describing completeness (VERDICT r03 #8): how many tracked
+    # gate entries produced a real result, in one glance
+    done = sum(1 for n in TRACKED_GATES
+               if isinstance(_latest_gates.get(n), dict)
+               and not ({"skipped", "error"} & _latest_gates[n].keys()))
+    extra["gates_completed"] = f"{done}/{len(TRACKED_GATES)}"
     baseline = 5000.0  # BASELINE.md north-star target
+    value = round(_pending["value"], 1)
+    alerts = _alerts(value, extra)
+    if alerts:
+        extra["ALERT"] = alerts
+    else:
+        extra.pop("ALERT", None)
     return json.dumps({
         "metric": "448x448_images_per_sec_per_chip_fwd_decode_nms",
-        "value": round(_pending["value"], 1),
+        "value": value,
         "unit": "images/sec",
         "vs_baseline": round(_pending["value"] / baseline, 3),
         "extra": extra,
@@ -309,6 +369,8 @@ def _wait_for_backend():
 
 def main():
     _wait_for_backend()
+    from tpufcn.utils.compile_cache import enable as _enable_cache
+    _enable_cache()   # warm compiles across seeds/processes/rounds
     import jax
     import jax.numpy as jnp
     from tpufcn.serve.detector import Detector
@@ -419,35 +481,32 @@ def main():
     del f224, seg_params
 
     _progress("train throughput")
-    extra["train_b32_img_per_sec"] = round(_train_throughput(), 1)
+    t32, _ = _train_throughput()
+    extra["train_b32_img_per_sec"] = round(t32, 1)
     # per-chip training optimum (BENCH.md batch sweep: B128 is the
     # throughput knee on v5e; tracked so a codegen shift is visible)
     _progress("train throughput B128")
-    extra["train_b128_img_per_sec"] = round(
-        _train_throughput(batch=128, steps_per_dispatch=10), 1)
+    t128, mfu128 = _train_throughput(batch=128, steps_per_dispatch=10)
+    extra["train_b128_img_per_sec"] = round(t128, 1)
+    extra["train_b128_mfu_pct"] = mfu128
 
-    # hard-benchmark accuracy gates (trains 5 models; the long part)
+    # hard-benchmark accuracy gates (trains every family + the voc flow
+    # gate inside ONE budgeted, priority-ordered loop — VERDICT r03 #1)
     if os.environ.get("BENCH_SKIP_GATES") != "1":
-        deadline = time.time() + GATE_BUDGET_S
-        gates = _gates(deadline)
-        # VOC fixture: the converter->records->train->eval flow on the
-        # committed photoreal-ish renders (non-compositor imagery)
-        if time.time() + VOC_GATE_EST_S > deadline:
-            vocr = {"skipped": "budget", "est_s": VOC_GATE_EST_S}
-            _progress("voc fixture gate skipped — budget")
+        if os.environ.get("BENCH_GATE_BUDGET_S"):
+            deadline = time.time() + float(os.environ["BENCH_GATE_BUDGET_S"])
         else:
-            _progress("voc fixture gate")
-            from tpufcn.train.gates import voc_fixture_gate
-            try:
-                vocr = voc_fixture_gate()
-            except Exception as e:   # noqa: BLE001 — fail-soft like run_bench_gates
-                vocr = {"error": f"{type(e).__name__}: {e}"}
-        gates["voc_fixture"] = vocr
-        _write_gates_partial(gates)
+            deadline = _T_START + TOTAL_BUDGET_S
+        _progress(f"gate phase: {max(deadline - time.time(), 0):.0f}s "
+                  "of budget remains")
+        _gates(deadline)
 
-    print(_result_line())
+    line = _result_line()
+    print(line)
     if os.path.exists(PENDING_PATH):
         os.remove(PENDING_PATH)   # clean exit: the line is on stdout
+    if json.loads(line)["extra"].get("ALERT"):
+        raise SystemExit(3)      # tripwire: loud nonzero exit
 
 
 if __name__ == "__main__":

@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # does stick (must happen before any backend use).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: re-runs of the suite (and re-parametrized
+# tests compiling identical HLO) skip recompilation — a large slice of
+# the ~40-min wall on this 1-core host (utils/compile_cache.py).
+from tpufcn.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache("/tmp/tpufcn_jaxcache_cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -142,3 +142,47 @@ def test_trainer_skips_handlers_under_env(tmp_path, tiny_dataset,
         signal.signal(signal.SIGTERM, prev)
     assert int(state.step) == 3          # NOT stopped early
     assert seen == [signal.SIGTERM]      # outer handler saw the signal
+
+
+def test_alert_tripwire(pending_state, monkeypatch, tmp_path):
+    """The headline tripwire (VERDICT r03 #5): a below-target headline
+    or a >5% per-family regression vs BENCH_EXPECT.json floors lands an
+    ALERT list in the result line; healthy numbers do not."""
+    expect = tmp_path / "expect.json"
+    expect.write_text(json.dumps({
+        "headline_target": 5000.0,
+        "family_floors": {"resnet_fpn_img_per_sec": 6500.0}}))
+    monkeypatch.setattr(bench, "EXPECT_PATH", str(expect))
+
+    # healthy: headline above target, family above floor
+    bench._pending["value"] = 5123.4
+    bench._pending["extra"]["resnet_fpn_img_per_sec"] = 6600.0
+    line = json.loads(bench._result_line())
+    assert "ALERT" not in line["extra"]
+
+    # injected slow headline + regressed family
+    bench._pending["value"] = 4800.0
+    bench._pending["extra"]["resnet_fpn_img_per_sec"] = 6000.0
+    line = json.loads(bench._result_line())
+    alerts = line["extra"]["ALERT"]
+    assert any("BELOW target" in a for a in alerts)
+    assert any("resnet_fpn" in a for a in alerts)
+    # within the 5% tolerance band: no family alert
+    bench._pending["extra"]["resnet_fpn_img_per_sec"] = 6300.0
+    line = json.loads(bench._result_line())
+    assert all("resnet_fpn" not in a for a in line["extra"]["ALERT"])
+
+
+def test_gates_completed_field(pending_state):
+    """gates_completed (VERDICT r03 #8) counts only real results —
+    skipped/error entries are incomplete, and the field always exists."""
+    line = json.loads(bench._result_line())
+    assert line["extra"]["gates_completed"] == "0/7"
+    bench._write_gates_partial({
+        "googlenet": {"exact": {"mAP": 0.6}},
+        "fcn32s": {"skipped": "budget", "est_s": 600},
+        "vgg_pyramid": {"error": "ValueError: boom"},
+        "voc_fixture": {"mAP": 0.4},
+    })
+    line = json.loads(bench._result_line())
+    assert line["extra"]["gates_completed"] == "2/7"

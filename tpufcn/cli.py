@@ -314,25 +314,29 @@ def _cmd_records(args):
 
 def _cmd_gates(args):
     import sys as _sys
-    from tpufcn.train.gates import (
-        bench_gate_configs, run_bench_gates, voc_fixture_gate)
+    from tpufcn.train.gates import bench_gate_configs, run_bench_gates
 
-    known = sorted(bench_gate_configs()) + ["voc_fixture"]
+    known = sorted(bench_gate_configs())
     fams = args.family or known
     unknown = sorted(set(fams) - set(known))
     if unknown:
         raise SystemExit(f"unknown families {unknown}; have {known}")
-    out = {}
-    if "voc_fixture" in fams:
-        out["voc_fixture"] = voc_fixture_gate()
-        print(f"gate[voc_fixture]: {out['voc_fixture']}",
-              file=_sys.stderr)
-    hard = [f for f in fams if f != "voc_fixture"]
-    if hard:
-        out.update(run_bench_gates(
-            root=args.root, only=hard,
-            log=lambda m: print(m, file=_sys.stderr)))
+    out = run_bench_gates(root=args.root, only=fams,
+                          log=lambda m: print(m, file=_sys.stderr))
     print(json.dumps(out))
+
+
+def _cmd_pretrain(args):
+    """In-repo backbone pretraining (the reference's fine-tune seed,
+    train/train.sh:26 `--weights VGG16...caffemodel` — reproduced
+    without egress, tpufcn/train/pretrain.py): exports a .caffemodel
+    that `cli train --weights` and the gates consume by name."""
+    import sys as _sys
+    from tpufcn.train.pretrain import pretrain_vgg16
+    res = pretrain_vgg16(args.out, classes=args.classes,
+                         steps=args.steps, lr=args.lr, seed=args.seed,
+                         log=lambda m: print(m, file=_sys.stderr))
+    print(json.dumps(res))
 
 
 def _cmd_voc(args):
@@ -814,6 +818,11 @@ def main(argv=None):
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # persistent compile cache (utils/compile_cache.py): repeat CLI
+    # invocations of the same model/shape skip the 10 s-minutes compile
+    from tpufcn.utils.compile_cache import enable as _enable_cache
+    _enable_cache("/tmp/tpufcn_jaxcache" if not plat
+                  else f"/tmp/tpufcn_jaxcache_{plat}")
     p = argparse.ArgumentParser(prog="tpufcn", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -947,6 +956,18 @@ def main(argv=None):
     ga.add_argument("--root", default="/tmp/tpufcn_hardgate",
                     help="work/cache directory for the hard benchmark")
     ga.set_defaults(fn=_cmd_gates)
+
+    pt = sub.add_parser(
+        "pretrain",
+        help="pretrain the VGG16 backbone as a crop classifier on "
+             "hardbench renders and export a .caffemodel fine-tune "
+             "seed (the reference's --weights workflow, in-repo)")
+    pt.add_argument("--out", default="/tmp/tpufcn_pretrain/vgg16.caffemodel")
+    pt.add_argument("--classes", type=int, default=4)
+    pt.add_argument("--steps", type=int, default=1500)
+    pt.add_argument("--lr", type=float, default=3e-4)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.set_defaults(fn=_cmd_pretrain)
 
     e = sub.add_parser("eval")
     e.add_argument("--manifest", required=True)

@@ -203,12 +203,10 @@ def hard_data_config(batch_size: int = 16) -> DataConfig:
 BOX_CAPACITY = 6          # num_compose max 5 + headroom
 
 
-def hard_pipeline(root: str, grid: GridConfig,
-                  batch_size: int = 16, seed: int = 1,
-                  classes: int = 4,
-                  dataset_seed: int = 7) -> CompositeTrainPipeline:
-    """Dataset + backgrounds (generated once per ``root``; re-runs reuse
-    the files via the manifest sidecar) -> compositing pipeline."""
+def hard_sources(root: str, classes: int = 4, dataset_seed: int = 7):
+    """Object sources + backgrounds (generated once per ``root``;
+    re-runs reuse the files via the manifest sidecar).
+    -> (samples, background paths)."""
     import json
     sidecar = os.path.join(root, f"hard_manifest_c{classes}.json")
     if os.path.isfile(sidecar):
@@ -233,7 +231,30 @@ def hard_pipeline(root: str, grid: GridConfig,
                 {"image": s.image_path, "mask": s.mask_path,
                  "label": int(s.label), "rect": [int(v) for v in s.rect]}
                 for s in samples], "backgrounds": backgrounds}, f)
+    return samples, backgrounds
+
+
+def hard_pipeline(root: str, grid: GridConfig,
+                  batch_size: int = 16, seed: int = 1,
+                  classes: int = 4,
+                  dataset_seed: int = 7) -> CompositeTrainPipeline:
+    """Host (parity-path) compositing pipeline over the hard sources."""
+    samples, backgrounds = hard_sources(root, classes, dataset_seed)
     return CompositeTrainPipeline(
+        samples, grid, hard_data_config(batch_size),
+        backgrounds=backgrounds, box_capacity=BOX_CAPACITY, seed=seed)
+
+
+def hard_device_pipeline(root: str, grid: GridConfig,
+                         batch_size: int = 16, seed: int = 1,
+                         classes: int = 4, dataset_seed: int = 7):
+    """ON-DEVICE compositing pipeline over the hard sources: one jitted
+    dispatch per training batch (data/device_compositor.py) — on this
+    1-core host the host compositor is the gate phase's wall-clock
+    bottleneck, not the TPU (round-4 gate budget recalibration)."""
+    from tpufcn.data.device_compositor import DeviceCompositePipeline
+    samples, backgrounds = hard_sources(root, classes, dataset_seed)
+    return DeviceCompositePipeline(
         samples, grid, hard_data_config(batch_size),
         backgrounds=backgrounds, box_capacity=BOX_CAPACITY, seed=seed)
 
@@ -245,7 +266,20 @@ def build_eval_set(root: str, grid: GridConfig, classes: int = 4,
 
     Returns (images (N, H, W, 3) u8, gts [per image (corners, labels)],
     segs (N, H, W) i32).  ``seed`` separates it from every train seed.
+
+    Disk-cached per (grid, classes, n_images, seed): the HOST compositor
+    stays the eval-set source (parity path, stable round-over-round GT)
+    but composing 100+ net-resolution scenes costs minutes on a 1-core
+    host — the cache makes every re-run (and every gate family sharing
+    a config) pay it once.
     """
+    cache = os.path.join(
+        root, f"hard_eval_{grid.im_height}x{grid.im_width}_s{grid.stride}"
+              f"_c{classes}_n{n_images}_seed{seed}.npz")
+    if os.path.isfile(cache):
+        z = np.load(cache, allow_pickle=False)
+        gts = [(z[f"gt_c{i}"], z[f"gt_l{i}"]) for i in range(n_images)]
+        return z["images"], gts, z["segs"]
     pipe = hard_pipeline(root, grid, batch_size=chunk, seed=seed,
                          classes=classes)
     images, segs, gts = [], [], []
@@ -261,4 +295,8 @@ def build_eval_set(root: str, grid: GridConfig, classes: int = 4,
             gts.append((corners, b["labels"][i][v]))
     images = np.concatenate(images)[:n_images]
     segs = np.concatenate(segs)[:n_images]
-    return images, gts[:n_images], segs
+    gts = gts[:n_images]
+    np.savez(cache, images=images, segs=segs,
+             **{f"gt_c{i}": g[0] for i, g in enumerate(gts)},
+             **{f"gt_l{i}": g[1] for i, g in enumerate(gts)})
+    return images, gts, segs

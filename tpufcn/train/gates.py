@@ -31,13 +31,26 @@ DEFAULT_ROOT = "/tmp/tpufcn_hardgate"
 def _train_hard(model_name: str, grid: GridConfig, root: str, *,
                 classes: int, steps: int, batch: int, n_cached: int,
                 seed: int, with_seg: bool, model_kwargs: Optional[dict],
-                lr: float = 3e-4):
+                lr: float = 3e-4, weights: Optional[str] = None,
+                device_data: bool = True):
     """Train ``model_name`` on the hard benchmark with DeviceBatchCache
     epoch training (n_cached batches composed+uploaded once, reused from
     HBM) and return the final TrainState.  ``seed`` varies BOTH the
-    param init and the composited training scenes."""
+    param init and the composited training scenes.
+
+    ``weights``: optional pretrained seed for fine-tune init (the
+    reference's ``caffe train --weights`` path, train/train.sh:26 —
+    here usually the in-repo hardbench VGG16 pretrain,
+    tpufcn/train/pretrain.py), resolved leniently by name.
+
+    ``device_data``: compose the training scenes ON DEVICE
+    (hard_device_pipeline) — on this 1-core host the host compositor,
+    not the TPU, dominated the round-3 gate wall times; the held-out
+    EVAL set stays on the host parity path either way."""
     import jax.numpy as jnp
+    from tpufcn.convert import resolve_weights
     from tpufcn.data import DeviceBatchCache
+    from tpufcn.data.hardbench import hard_device_pipeline
     from tpufcn.models import build
     from tpufcn.train.trainer import Trainer
 
@@ -52,10 +65,17 @@ def _train_hard(model_name: str, grid: GridConfig, root: str, *,
     model = build(model_name, dtype=jnp.bfloat16, **(model_kwargs or {}))
     trainer = Trainer(cfg, model=model, with_seg=with_seg,
                       steps_per_dispatch=n_cached, log_sink=lambda s: None)
-    pipe = hard_pipeline(root, grid, batch_size=batch,
-                         seed=1000 + seed, classes=classes)
+    make_pipe = hard_device_pipeline if device_data else hard_pipeline
+    pipe = make_pipe(root, grid, batch_size=batch,
+                     seed=1000 + seed, classes=classes)
     cache = DeviceBatchCache(trainer.put, iter(pipe), n_batches=n_cached)
-    return trainer.fit(iter(cache), max_iter=steps, resume=False)
+    state = None
+    if weights:
+        state = trainer.init_state()
+        state = state.replace(params=resolve_weights(
+            weights, lambda: state.params))
+    return trainer.fit(iter(cache), max_iter=steps, state=state,
+                       resume=False)
 
 
 def _score_detector(model_name: str, params, grid: GridConfig,
@@ -95,7 +115,8 @@ def detection_gate(model_name: str, *,
                    eval_images: int = 128,
                    root: str = DEFAULT_ROOT,
                    with_seg: bool = False,
-                   lr: float = 3e-4) -> Dict[str, object]:
+                   lr: float = 3e-4,
+                   weights: Optional[str] = None) -> Dict[str, object]:
     """Train + score one detection family on the hard benchmark.
 
     Trains the EXACT model per seed and scores the same params under
@@ -130,7 +151,8 @@ def detection_gate(model_name: str, *,
         state = _train_hard(model_name, grid, root, classes=classes,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=with_seg,
-                            model_kwargs=model_kwargs, lr=lr)
+                            model_kwargs=model_kwargs, lr=lr,
+                            weights=weights)
         train_s += _t.time() - t0
         t0 = _t.time()
         m, nd = _score_detector(model_name, state.params, grid, images,
@@ -217,7 +239,13 @@ def voc_fixture_gate(fixture_root: Optional[str] = None, *,
     train_s = _t.time() - t0
 
     t0 = _t.time()
-    vi, vg = val_set_from_voc(os.path.join(man, "val.txt"), (224, 224))
+    # eval at 448² (train stays 224²): the net is fully convolutional,
+    # so doubling the eval resolution doubles object scale relative to
+    # the NMS h>=20 floor and roughly quadruples the per-image grid
+    # evidence — measured, it lifted the gate's detection count well
+    # past the ~30-detection power floor the 224² eval had
+    # (VERDICT r03 #7) while keeping the train split untouched
+    vi, vg = val_set_from_voc(os.path.join(man, "val.txt"), (448, 448))
     res = detection_validator("vgg_detectnet_train", vi, vg,
                               chunk=min(8, len(vi)))(state.params)
     res["val_images"] = int(vi.shape[0])
@@ -230,59 +258,66 @@ def voc_fixture_gate(fixture_root: Optional[str] = None, *,
 def bench_gate_configs() -> Dict[str, dict]:
     """The tracked per-family gate configurations (bench.py extras).
 
-    Step counts and learning rates are CALIBRATED (round 3, TPU runs)
-    to land each family in a trackable non-saturated regime on the hard
-    benchmark so the gate can trend in both directions — the round-2
-    gate saturated at mAP 1.0 and could not catch the fused-1x1 class
-    of regression.  Calibration results (mAP exact/fp8):
-    googlenet 0.646/0.637 @ 6k steps lr 3e-4; googlenet_3cls
-    0.495/0.491 @ 6k lr 2e-4 eval_images=192 (3e-4 diverges to 0
-    detections, 1e-4 @6k underconverges to mAP 0.255/152 det, and 8k
-    @2e-4 ALSO collapses late — this head sits near an instability, so
-    its config is pinned exactly; eval_images raised 128->192 to cross
-    the >=300-detection power bar: 370 det, mAP consistent with the
-    128-image 0.492); vgg_pyramid 0.328/0.307 @ 6k lr 1e-4 (lr 3e-4 DIVERGES
-    to 0 detections — VGG-from-scratch instability); fcn32s mIoU
-    0.887/0.888 @ 5k.  fp8 serving kwargs
-    mirror each family's ``*_serving`` registry preset (pinned by
-    tests/test_voc_e2e.py).  fcn8s runs 3 seeds (its gate is the
-    high-variance one — BENCH.md negative results) and reports
-    mean/min/max.
+    Round-4 recalibration (VERDICT r03 #1/#3/#4): the driver's timeout
+    killed the round-3 gate phase with 3 of 5 hard gates uncaptured, so
+    the whole suite is re-sized to land INSIDE a ~20-minute window on
+    an uncontended TPU while every family gains what round 3 lacked:
 
-    ``est_s`` is each gate's CALIBRATED wall time on an uncontended
-    TPU (round-3 calibration runs, rounded up) — run_bench_gates uses
-    it to fit families into a wall-clock budget.  Dict order = run
-    priority: the headline-family gate first, cheap gates next, the
-    3-seed fcn8s gate (the most expensive) last, so a tight budget
-    degrades by dropping the costliest gates rather than being killed
-    mid-run with nothing reported."""
+    * training scenes compose ON DEVICE (hard_device_pipeline) — the
+      1-core host compositor, not the TPU, dominated r03 gate walls;
+    * the held-out eval set is disk-cached (build_eval_set) and the
+      eval pipeline stays on the host parity path;
+    * the VGG families fine-tune from the in-repo hardbench VGG16
+      pretrain (kind="pretrain" entry, tpufcn/train/pretrain.py) —
+      the reference's own from-pretrained workflow, which removes the
+      from-scratch instabilities (r03: vgg_pyramid diverged at lr 3e-4,
+      fcn8s seed spread 0.072-0.258) and buys convergence at far fewer
+      steps;
+    * every detection family runs >= 2 seeds (VERDICT r03 #4) and the
+      voc flow gate is budgeted inside THIS loop (r03 #1).
+
+    Step counts / lrs are TPU-calibrated round 4 — see BENCH.md round-4
+    gate table for the measured regimes and wall times.  fp8
+    serving kwargs mirror each family's ``*_serving`` registry preset
+    (pinned by tests/test_voc_e2e.py).
+
+    ``est_s`` is each gate's measured wall time on an uncontended TPU
+    (rounded up) — run_bench_gates uses it to fit families into the
+    budget.  Dict order = run priority: the r03-uncaptured gates and
+    their pretrain dependency first (cheapest-first within that), the
+    two families that DID land in r03 after them, the multi-seed fcn8s
+    gate (the most expensive) last, so a tight budget degrades by
+    dropping already-captured or costliest gates rather than being
+    killed mid-run with nothing reported."""
     import jax.numpy as jnp
     e5m2 = jnp.float8_e5m2
     return {
-        "googlenet": dict(
-            kind="detection", model="googlenet_detectnet",
-            classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,), est_s=1300,
-            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
-                            "store_stem2": True}),
         "fcn32s": dict(
-            kind="segmentation", steps=5000, n_cached=60, seeds=(0,),
-            est_s=600),
-        "googlenet_3cls": dict(
-            kind="detection", model="googlenet_detectnet_3cls",
-            classes=3, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,), lr=2e-4, eval_images=192, est_s=950,
-            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
-                            "store_stem2": True}),
+            kind="segmentation", steps=2500, n_cached=60, seeds=(0, 1),
+            est_s=260),
+        "vgg16_pretrain": dict(kind="pretrain", steps=1500, est_s=150),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
-            classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0,), lr=1e-4, est_s=700,
+            classes=4, im=448, stride=16, steps=2000, n_cached=60,
+            seeds=(0, 1), lr=1e-4, pretrain=True, est_s=420,
             serving_kwargs={"store_dtype": e5m2}),
+        "googlenet_3cls": dict(
+            kind="detection", model="googlenet_detectnet_3cls",
+            classes=3, im=448, stride=16, steps=3000, n_cached=60,
+            seeds=(0, 1), lr=2e-4, eval_images=192, est_s=420,
+            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
+                            "store_stem2": True}),
+        "voc_fixture": dict(kind="voc", est_s=420),
+        "googlenet": dict(
+            kind="detection", model="googlenet_detectnet",
+            classes=4, im=448, stride=16, steps=3000, n_cached=60,
+            seeds=(0, 1), est_s=420,
+            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
+                            "store_stem2": True}),
         "fcn8s": dict(
             kind="detection", model="fcn8s_bbox",
-            classes=4, im=288, stride=8, steps=12000, n_cached=90,
-            seeds=(0, 1, 2), with_seg=True, est_s=5400,
+            classes=4, im=288, stride=8, steps=4000, n_cached=90,
+            seeds=(0, 1, 2), with_seg=True, pretrain=True, est_s=600,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
     }
 
@@ -302,12 +337,24 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
     calibrated ``est_s`` does not fit in the remaining budget is
     skipped with {"skipped": "budget"} instead of risking the whole
     bench process being killed mid-gate by an external timeout —
-    config order is run priority, so tight budgets drop the most
-    expensive gates first.  ``sink(partial_results_dict)`` is called
-    after every family so partial results survive a kill."""
+    config order is run priority, so tight budgets drop the
+    lowest-priority gates first.  ``sink(partial_results_dict)`` is
+    called after every family so partial results survive a kill.
+
+    Entry kinds beyond detection/segmentation:
+      * ``pretrain`` — the shared VGG16 backbone pretrain
+        (tpufcn/train/pretrain.py); later entries with
+        ``pretrain=True`` fine-tune from its exported caffemodel.
+        If it was budget-skipped (or failed), consumers train from
+        scratch and report ``"pretrained": false``.
+      * ``voc`` — the committed-fixture converter->records->train->eval
+        flow gate (voc_fixture_gate), budgeted like every family
+        (VERDICT round-3 #1: it must run INSIDE the budgeted loop).
+    """
     import time as _t
     import traceback
     out: Dict[str, dict] = {}
+    pretrain_path: Optional[str] = None
     for name, cfg in bench_gate_configs().items():
         if only is not None and name not in only:
             continue
@@ -321,11 +368,22 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
             continue
         t0 = _t.time()
         try:
-            if kind == "segmentation":
+            if kind == "pretrain":
+                from tpufcn.train.pretrain import cached_vgg16_pretrain
+                pretrain_path = cached_vgg16_pretrain(root, log=log, **cfg)
+                res = {"path": pretrain_path}
+            elif kind == "voc":
+                res = voc_fixture_gate(**cfg)
+            elif kind == "segmentation":
                 res = segmentation_gate(root=root, **cfg)
             else:
                 model = cfg.pop("model")
-                res = detection_gate(model, root=root, **cfg)
+                if cfg.pop("pretrain", False):
+                    cfg["weights"] = pretrain_path
+                    res = detection_gate(model, root=root, **cfg)
+                    res["pretrained"] = pretrain_path is not None
+                else:
+                    res = detection_gate(model, root=root, **cfg)
         except Exception as e:   # noqa: BLE001 — report, don't abort
             log(traceback.format_exc())
             res = {"error": f"{type(e).__name__}: {e}"}
@@ -348,7 +406,8 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
                       n_cached: int = 30,
                       seeds: Sequence[int] = (0,),
                       eval_images: int = 64,
-                      root: str = DEFAULT_ROOT) -> Dict[str, object]:
+                      root: str = DEFAULT_ROOT,
+                      weights: Optional[str] = None) -> Dict[str, object]:
     """FCN-32s seg family gate: held-out mean-IoU on the hard benchmark
     (masks carry label+1 per compositor convention; class 0 background)."""
     import jax
@@ -370,7 +429,8 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
         state = _train_hard(model_name, grid, root, classes=classes,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=True,
-                            model_kwargs={"num_classes": C})
+                            model_kwargs={"num_classes": C},
+                            weights=weights)
         train_s += _t.time() - t0
         t0 = _t.time()
         for tag, name in (("exact", model_name), ("fp8", serving_name)):
