@@ -36,7 +36,7 @@ def test_fixture_layout_and_annotations():
     img_dir = os.path.join(FIXTURE, "JPEGImages")
     ann_dir = os.path.join(FIXTURE, "Annotations")
     ids = sorted(os.path.splitext(f)[0] for f in os.listdir(ann_dir))
-    assert len(ids) == 72      # 48 train + 24 val
+    assert len(ids) == 144     # 48 train + 96 val (r04 power bump)
     names = set()
     import cv2 as cv
     for idx in ids:
@@ -80,7 +80,7 @@ def test_voc_records_train_eval_chain(tmp_path):
     train_txt = man / "train.txt"
     val_txt = man / "val.txt"
     assert len(train_txt.read_text().splitlines()) == 48
-    assert len(val_txt.read_text().splitlines()) == 24
+    assert len(val_txt.read_text().splitlines()) == 96
 
     _cli("records", "--manifest", str(train_txt), "--format", "voc",
          "--out", str(tmp_path / "rec" / "ds"))
@@ -98,7 +98,7 @@ def test_voc_records_train_eval_chain(tmp_path):
                "--model", "vgg_detectnet_train",
                "--weights", str(tmp_path / "snap"))
     res = json.loads(out.splitlines()[-1])
-    assert res["images"] == 24
+    assert res["images"] == 96
     assert set(res["ap"]) == {"0", "1", "2"}
     assert 0.0 <= res["mAP"] <= 1.0
 
@@ -115,7 +115,7 @@ def test_voc_fixture_gate_smoke():
         res = voc_fixture_gate(steps=4, n_cached=2, batch=2,
                                work_root=work)
     assert set(res) >= {"mAP", "n_det", "val_images", "n_gt"}
-    assert res["val_images"] == 24
+    assert res["val_images"] == 96
     assert res["n_gt"] >= 30
     assert 0.0 <= res["mAP"] <= 1.0
 
