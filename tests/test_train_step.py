@@ -273,3 +273,46 @@ def test_iter_size_multi_step_rejected():
     from tpufcn.train.step import make_multi_train_step
     with pytest.raises(ValueError, match="iter_size"):
         make_multi_train_step(model, cfg)
+
+
+def test_warmup_schedule_lr_values():
+    """warmup_steps prepends a linear 0->lr ramp; the step-decay
+    boundaries count from the END of the warmup (config.py
+    warmup_steps — the from-scratch stabilizer the reference never
+    needed because its recipes fine-tune from pretrained weights)."""
+    from tpufcn.train.step import make_optimizer
+    import optax
+
+    cfg = _tiny_cfg(learning_rate=1e-3, warmup_steps=10,
+                    lr_decay_step=100, lr_gamma=0.1)
+    # reconstruct the schedule the optimizer was built from
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+         optax.exponential_decay(cfg.learning_rate, cfg.lr_decay_step,
+                                 cfg.lr_gamma, staircase=True)],
+        [cfg.warmup_steps])
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 5e-4) < 1e-9
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert abs(float(sched(109)) - 1e-3) < 1e-9   # decay at warmup+100
+    assert abs(float(sched(110)) - 1e-4) < 1e-9
+
+    # and the real optimizer applies a zero first-step update, ramping up
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    st = opt.init(params)
+    g = {"w": jnp.ones((3,))}
+    up0, st = opt.update(g, st, params)
+    up1, st = opt.update(g, st, params)
+    assert float(jnp.abs(up0["w"]).max()) == 0.0        # lr 0 at step 0
+    assert float(jnp.abs(up1["w"]).max()) > 0.0
+
+
+def test_warmup_zero_is_parity_default():
+    from tpufcn.train.step import make_optimizer
+    cfg = _tiny_cfg(learning_rate=1e-3, warmup_steps=0, lr_decay_step=0)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((2,))}
+    st = opt.init(params)
+    up, _ = opt.update({"w": jnp.ones((2,))}, st, params)
+    assert float(jnp.abs(up["w"]).max()) > 0.0

@@ -48,6 +48,8 @@ def _cmd_train(args):
         cfg = dataclasses.replace(cfg, snapshot_dir=args.snapshot_dir)
     if args.iter_size and args.iter_size != 1:
         cfg = dataclasses.replace(cfg, iter_size=args.iter_size)
+    if args.warmup:
+        cfg = dataclasses.replace(cfg, warmup_steps=args.warmup)
 
     if not args.records and not args.manifest:
         raise SystemExit("one of --manifest or --records is required")
@@ -851,6 +853,11 @@ def main(argv=None):
                         "in --snapshot-dir still resumes over this")
     t.add_argument("--workers", type=int, default=0,
                    help="scene-builder worker processes (0 = in-process)")
+    t.add_argument("--warmup", type=int, default=0, metavar="N",
+                   help="linear lr warmup over the first N steps (0 = "
+                        "off, the Caffe-parity default; the from-scratch "
+                        "stabilizer — every reference recipe fine-tunes "
+                        "from pretrained weights instead)")
     t.add_argument("--inspect-data", default=None, metavar="DIR",
                    help="data dry-run: write the first batch as "
                         "rect-overlay PNGs (+ seg masks) to DIR and "

@@ -151,6 +151,13 @@ class TrainConfig:
     learning_rate: float = 1e-4
     lr_decay_step: int = 10000         # step lr schedule: gamma every N iters
     lr_gamma: float = 0.1
+    # Linear lr warmup over the first N steps (0 = off, the Caffe-parity
+    # default — no reference solver warms up because every reference
+    # recipe fine-tunes from pretrained weights, train/train.sh:26).
+    # From-scratch VGG training sits near an instability (lr 3e-4
+    # diverges, BENCH.md round-3 gate table); warmup is the standard
+    # from-scratch stabilizer and is what the accuracy gates use.
+    warmup_steps: int = 0
     momentum: float = 0.9
     weight_decay: float = 1e-7
     max_iter: int = 100000

@@ -32,7 +32,7 @@ def _train_hard(model_name: str, grid: GridConfig, root: str, *,
                 classes: int, steps: int, batch: int, n_cached: int,
                 seed: int, with_seg: bool, model_kwargs: Optional[dict],
                 lr: float = 3e-4, weights: Optional[str] = None,
-                device_data: bool = True):
+                device_data: bool = True, warmup: int = 0):
     """Train ``model_name`` on the hard benchmark with DeviceBatchCache
     epoch training (n_cached batches composed+uploaded once, reused from
     HBM) and return the final TrainState.  ``seed`` varies BOTH the
@@ -59,6 +59,7 @@ def _train_hard(model_name: str, grid: GridConfig, root: str, *,
         data=DataConfig(batch_size=batch),
         optimizer="adam", learning_rate=lr,
         lr_decay_step=max(steps // 2, 1), lr_gamma=0.3,
+        warmup_steps=warmup,
         max_iter=steps, snapshot_every=0,
         snapshot_dir=os.path.join(root, f"snap_{model_name}_{seed}"),
         log_every=10 ** 9, seed=seed)

@@ -58,7 +58,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             cfg.learning_rate, cfg.lr_decay_step, cfg.lr_gamma,
             staircase=True)
     else:
-        sched = cfg.learning_rate
+        sched = optax.constant_schedule(cfg.learning_rate)
+    if cfg.warmup_steps > 0:
+        # linear 0 -> lr over the first warmup_steps, then the step
+        # schedule (which counts its decay boundaries from the end of
+        # the warmup)
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate,
+                                   cfg.warmup_steps), sched],
+            [cfg.warmup_steps])
     if cfg.optimizer == "adam":
         opt = optax.adam(sched)
     elif cfg.optimizer == "sgd":
