@@ -145,3 +145,31 @@ def test_detection_gate_smoke(tmp_path):
     assert out["n_gt"] >= 16
     assert 0.0 <= out["exact"]["mAP"] <= 1.0
     assert len(out["exact"]["per_seed"]) == 1
+
+
+def test_cached_host_batches_deterministic_roundtrip(tmp_path):
+    """The gate's disk-memoized host-composited scene cache returns the
+    identical batches on a warm re-load (gates.py _cached_host_batches:
+    the fixed epoch set the gates train on, composed once per
+    (geometry, classes, batch, n, seed))."""
+    import numpy as np
+    from tpufcn.core.config import GridConfig
+    from tpufcn.train.gates import _cached_host_batches
+
+    grid = GridConfig(64, 64, stride=16, num_classes=3)
+    b1 = _cached_host_batches(str(tmp_path), grid, classes=3, batch=2,
+                              n_cached=3, seed=7)
+    import glob
+    assert glob.glob(str(tmp_path / "hard_train_*.npz"))
+    b2 = _cached_host_batches(str(tmp_path), grid, classes=3, batch=2,
+                              n_cached=3, seed=7)
+    assert len(b1) == len(b2) == 3
+    assert set(b1[0]) == {"image", "rects", "labels", "valid", "seg"}
+    for a, b in zip(b1, b2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    assert b1[0]["seg"].dtype == np.int32   # restored from u8 storage
+    # a different seed composes different scenes
+    b3 = _cached_host_batches(str(tmp_path), grid, classes=3, batch=2,
+                              n_cached=3, seed=8)
+    assert not np.array_equal(b1[0]["image"], b3[0]["image"])
