@@ -194,13 +194,22 @@ GATES_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # (round-3 lesson: the driver killed the run with only 2 of 6 gates
 # captured — its timeout bounds the whole process, so budgeting the
 # gate phase alone under-counts whatever the headline phase spent).
-# The r03 kill evidence bounds the driver's window at
-# headline (~13-15 min) + >= 825 s of gates, so 28 min of self-imposed
-# budget keeps the final JSON line comfortably inside it; the gate
-# phase gets whatever remains after the headline phase.
-# BENCH_GATE_BUDGET_S (a gate-phase-only ceiling) still overrides.
+# Observed driver windows: r03 SIGTERM at ~28 min, r04 at ~21-22 min
+# (BENCH_r04.json rc 124 with 469s of a 1680s self-budget unspent) —
+# so the self-budget assumes ~19 min (VERDICT r04 #1c) and the phase
+# order spends it accuracy-first: headline block, then gate pass 0
+# (every tracked family), then throughput extras, then extra gate
+# seeds.  BENCH_GATE_BUDGET_S (a gate-phase-only ceiling) overrides
+# for standalone gate work.
 _T_START = time.time()
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1680))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1140))
+
+# Calibrated per-extra wall estimates (warm compile cache; BENCH.md
+# round-5): each throughput extra is budget-checked against the global
+# deadline so a slow run drops diagnostics, never the final JSON line.
+EXTRAS_EST_S = {"train_b128": 150, "resnet_fpn": 100,
+                "vgg_pyramid": 120, "fcn8s": 110, "fcn32s": 90,
+                "train_b32": 110}
 
 # Signal resilience: the gate phase makes a full run take hours — an
 # external harness timeout (SIGTERM) must not lose the headline that
@@ -231,8 +240,20 @@ def _flatten_gate_keys(gates, extra):
         extra["map_voc_fixture"] = gates["voc_fixture"].get("mAP")
 
 
-TRACKED_GATES = ("fcn32s", "vgg16_pretrain", "vgg_pyramid",
-                 "googlenet_3cls", "voc_fixture", "googlenet", "fcn8s")
+_TRACKED_GATES = None
+
+
+def _tracked_gates():
+    """The tracked gate families, derived from the ONE source of truth
+    (train/gates.py bench_gate_configs — VERDICT r04 #2: a static copy
+    here drifted and made the r04 gates_completed denominator lie)."""
+    global _TRACKED_GATES
+    if _TRACKED_GATES is None:
+        from tpufcn.train.gates import bench_gate_configs
+        _TRACKED_GATES = tuple(bench_gate_configs())
+    return _TRACKED_GATES
+
+
 EXPECT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_EXPECT.json")
 
@@ -244,8 +265,14 @@ def _alerts(value, extra):
     BENCH_EXPECT.json (update the floors when perf legitimately
     moves).  Returned list lands in extra["ALERT"] and forces a
     nonzero exit — a 2.4% headline margin needs a tripwire, not a
-    careful reader."""
+    careful reader.  Zero completed gates is likewise loud (VERDICT
+    r04 #2): an artifact with no accuracy evidence must not read as a
+    clean pass."""
     out = []
+    if (os.environ.get("BENCH_SKIP_GATES") != "1"
+            and str(extra.get("gates_completed", "")).startswith("0/")):
+        out.append("NO accuracy gates completed — the artifact carries "
+                   "no accuracy evidence")
     try:
         with open(EXPECT_PATH) as f:
             expect = json.load(f)
@@ -269,10 +296,11 @@ def _result_line():
         _flatten_gate_keys(_latest_gates, extra)
     # self-describing completeness (VERDICT r03 #8): how many tracked
     # gate entries produced a real result, in one glance
-    done = sum(1 for n in TRACKED_GATES
+    tracked = _tracked_gates()
+    done = sum(1 for n in tracked
                if isinstance(_latest_gates.get(n), dict)
                and not ({"skipped", "error"} & _latest_gates[n].keys()))
-    extra["gates_completed"] = f"{done}/{len(TRACKED_GATES)}"
+    extra["gates_completed"] = f"{done}/{len(tracked)}"
     baseline = 5000.0  # BASELINE.md north-star target
     value = round(_pending["value"], 1)
     alerts = _alerts(value, extra)
@@ -323,14 +351,15 @@ def _write_gates_partial(results):
     _write_pending()
 
 
-def _gates(deadline):
+def _gates(deadline, passes=None, prior=None):
     """The tracked accuracy gates on the hard synthetic benchmark
     (tpufcn/train/gates.py; VERDICT round-2 #1).  Trains each family —
     dominates bench wall time; BENCH_SKIP_GATES=1 to skip,
     BENCH_GATE_BUDGET_S bounds the phase."""
     from tpufcn.train.gates import run_bench_gates
     return run_bench_gates(root="/tmp/tpufcn_hardgate", log=_progress,
-                           deadline=deadline, sink=_write_gates_partial)
+                           deadline=deadline, sink=_write_gates_partial,
+                           passes=passes, prior=prior)
 
 
 def _wait_for_backend():
@@ -411,95 +440,133 @@ def main():
     lat_ms = _time_loop(det._infer_impl, det.params, frames[:1]) * 1000.0
     extra["p50_single_frame_ms"] = round(lat_ms, 3)
 
-    # modern-backbone swap (BASELINE config #5)
-    _progress("resnet_fpn throughput")
-    det_r = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
-                     max_candidates=256,
-                     model_kwargs={"store_dtype": jnp.float8_e5m2})
-    resnet_ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
-    extra["resnet_fpn_img_per_sec"] = round(resnet_ips, 1)
-    det_rx = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
-                      max_candidates=256, params=det_r.params)
-    extra["resnet_fpn_mfu_pct"] = _mfu_pct(
-        _flops_per_img(det_rx._infer_impl, det_rx.params, frames),
-        resnet_ips)
-    del det_r, det_rx
+    # ---- accuracy gates, pass 0: seed[0] of EVERY tracked family,
+    # IMMEDIATELY after the headline block (VERDICT r04 #1b: the gates
+    # are the accuracy contract; the throughput extras below are
+    # diagnostics and run on leftover budget afterwards)
+    if os.environ.get("BENCH_GATE_BUDGET_S"):
+        gates_deadline = time.time() + float(
+            os.environ["BENCH_GATE_BUDGET_S"])
+    else:
+        gates_deadline = _T_START + TOTAL_BUDGET_S
+    gates0 = None
+    run_gates = os.environ.get("BENCH_SKIP_GATES") != "1"
+    if run_gates:
+        _progress(f"gate pass 0: {max(gates_deadline - time.time(), 0):.0f}s"
+                  " of budget remains")
+        gates0 = _gates(gates_deadline, passes=(0,))
 
-    # VGG pyramid deploy net (C17, 20-class, 448²) — the reference's
-    # heaviest serving graph, tracked at its measured-optimal batch 64
-    _progress("vgg_pyramid throughput")
-    det_v = Detector("vgg_pyramid_detectnet_serving", dtype=jnp.bfloat16,
-                     max_candidates=256)
-    vgg_ips = 64 / _time_loop(det_v._infer_impl, det_v.params, frames[:64])
-    extra["vgg_pyramid_img_per_sec"] = round(vgg_ips, 1)
-    det_vx = Detector("vgg_pyramid_detectnet", dtype=jnp.bfloat16,
-                      max_candidates=256, params=det_v.params)
-    extra["vgg_pyramid_exact_img_per_sec"] = round(
-        64 / _time_loop(det_vx._infer_impl, det_vx.params, frames[:64]), 1)
-    extra["vgg_pyramid_mfu_pct"] = _mfu_pct(
-        _flops_per_img(det_vx._infer_impl, det_vx.params, frames[:64]),
-        vgg_ips)
-    del det_v, det_vx
+    # ---- per-family throughput extras (diagnostics + tripwire floors),
+    # each budget-checked so the later gate seed passes still get a shot
+    def _fits(tag, est):
+        left = _T_START + TOTAL_BUDGET_S - time.time()
+        if est > left:
+            _progress(f"extra[{tag}] skipped (est {est}s > {left:.0f}s left)")
+            return False
+        _progress(f"{tag} throughput")
+        return True
 
-    # FCN-8s bbox (C18, 11-cls, 288², B64, full detector pipeline) —
-    # serving preset quantizes backbone stages 1-2 only (BENCH.md)
-    _progress("fcn8s throughput")
-    f288 = jnp.asarray(rng.integers(0, 256, size=(64, 288, 288, 3)
-                                    ).astype(np.uint8))
-    det_f = Detector("fcn8s_bbox_serving", dtype=jnp.bfloat16,
-                     max_candidates=256)
-    fcn8s_ips = 64 / _time_loop(det_f._infer_impl, det_f.params, f288)
-    extra["fcn8s_bbox_img_per_sec"] = round(fcn8s_ips, 1)
-    det_fx = Detector("fcn8s_bbox", dtype=jnp.bfloat16,
-                      max_candidates=256, params=det_f.params)
-    extra["fcn8s_bbox_exact_img_per_sec"] = round(
-        64 / _time_loop(det_fx._infer_impl, det_fx.params, f288), 1)
-    # MFU convention (matches the flagship): useful FLOPs from the
-    # EXACT bf16 graph x the tracked serving throughput
-    extra["fcn8s_bbox_mfu_pct"] = _mfu_pct(
-        _flops_per_img(det_fx._infer_impl, det_fx.params, f288),
-        fcn8s_ips)
-    del det_f, det_fx, f288
+    def _x_resnet():
+        # modern-backbone swap (BASELINE config #5)
+        det_r = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
+                         max_candidates=256,
+                         model_kwargs={"store_dtype": jnp.float8_e5m2})
+        ips = batch / _time_loop(det_r._infer_impl, det_r.params, frames)
+        extra["resnet_fpn_img_per_sec"] = round(ips, 1)
+        det_rx = Detector("resnet_fpn_detectnet", dtype=jnp.bfloat16,
+                          max_candidates=256, params=det_r.params)
+        extra["resnet_fpn_mfu_pct"] = _mfu_pct(
+            _flops_per_img(det_rx._infer_impl, det_rx.params, frames), ips)
 
-    # FCN-32s seg (C19, 12-cls, 224², B128, fwd+argmax)
-    _progress("fcn32s throughput")
-    f224 = jnp.asarray(rng.integers(0, 256, size=(128, 224, 224, 3)
-                                    ).astype(np.uint8))
-    model_s, seg_infer = _seg_forward("fcn32s_seg_serving")
-    seg_params = jax.jit(model_s.init)(
-        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
-    seg_scalar = lambda out: out.sum()            # noqa: E731
-    seg_ips = 128 / _time_loop(seg_infer, seg_params, f224,
+    def _x_vgg():
+        # VGG pyramid deploy net (C17, 20-class, 448²) — the reference's
+        # heaviest serving graph, at its measured-optimal batch 64
+        det_v = Detector("vgg_pyramid_detectnet_serving",
+                         dtype=jnp.bfloat16, max_candidates=256)
+        ips = 64 / _time_loop(det_v._infer_impl, det_v.params, frames[:64])
+        extra["vgg_pyramid_img_per_sec"] = round(ips, 1)
+        det_vx = Detector("vgg_pyramid_detectnet", dtype=jnp.bfloat16,
+                          max_candidates=256, params=det_v.params)
+        extra["vgg_pyramid_exact_img_per_sec"] = round(
+            64 / _time_loop(det_vx._infer_impl, det_vx.params,
+                            frames[:64]), 1)
+        extra["vgg_pyramid_mfu_pct"] = _mfu_pct(
+            _flops_per_img(det_vx._infer_impl, det_vx.params, frames[:64]),
+            ips)
+
+    def _x_fcn8s():
+        # FCN-8s bbox (C18, 11-cls, 288², B64, full detector pipeline) —
+        # serving preset quantizes backbone stages 1-2 only (BENCH.md)
+        f288 = jnp.asarray(rng.integers(0, 256, size=(64, 288, 288, 3)
+                                        ).astype(np.uint8))
+        det_f = Detector("fcn8s_bbox_serving", dtype=jnp.bfloat16,
+                         max_candidates=256)
+        ips = 64 / _time_loop(det_f._infer_impl, det_f.params, f288)
+        extra["fcn8s_bbox_img_per_sec"] = round(ips, 1)
+        det_fx = Detector("fcn8s_bbox", dtype=jnp.bfloat16,
+                          max_candidates=256, params=det_f.params)
+        extra["fcn8s_bbox_exact_img_per_sec"] = round(
+            64 / _time_loop(det_fx._infer_impl, det_fx.params, f288), 1)
+        # MFU convention (matches the flagship): useful FLOPs from the
+        # EXACT bf16 graph x the tracked serving throughput
+        extra["fcn8s_bbox_mfu_pct"] = _mfu_pct(
+            _flops_per_img(det_fx._infer_impl, det_fx.params, f288), ips)
+
+    def _x_fcn32s():
+        # FCN-32s seg (C19, 12-cls, 224², B128, fwd+argmax)
+        f224 = jnp.asarray(rng.integers(0, 256, size=(128, 224, 224, 3)
+                                        ).astype(np.uint8))
+        model_s, seg_infer = _seg_forward("fcn32s_seg_serving")
+        seg_params = jax.jit(model_s.init)(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
+        seg_scalar = lambda out: out.sum()        # noqa: E731
+        ips = 128 / _time_loop(seg_infer, seg_params, f224,
                                out_scalar=seg_scalar)
-    extra["fcn32s_seg_img_per_sec"] = round(seg_ips, 1)
-    _, seg_infer_x = _seg_forward("fcn32s_seg")
-    extra["fcn32s_seg_exact_img_per_sec"] = round(
-        128 / _time_loop(seg_infer_x, seg_params, f224,
-                         out_scalar=seg_scalar), 1)
-    extra["fcn32s_seg_mfu_pct"] = _mfu_pct(
-        _flops_per_img(seg_infer_x, seg_params, f224), seg_ips)
-    del f224, seg_params
+        extra["fcn32s_seg_img_per_sec"] = round(ips, 1)
+        _, seg_infer_x = _seg_forward("fcn32s_seg")
+        extra["fcn32s_seg_exact_img_per_sec"] = round(
+            128 / _time_loop(seg_infer_x, seg_params, f224,
+                             out_scalar=seg_scalar), 1)
+        extra["fcn32s_seg_mfu_pct"] = _mfu_pct(
+            _flops_per_img(seg_infer_x, seg_params, f224), ips)
 
-    _progress("train throughput")
-    t32, _ = _train_throughput()
-    extra["train_b32_img_per_sec"] = round(t32, 1)
-    # per-chip training optimum (BENCH.md batch sweep: B128 is the
-    # throughput knee on v5e; tracked so a codegen shift is visible)
-    _progress("train throughput B128")
-    t128, mfu128 = _train_throughput(batch=128, steps_per_dispatch=10)
-    extra["train_b128_img_per_sec"] = round(t128, 1)
-    extra["train_b128_mfu_pct"] = mfu128
+    def _x_train128():
+        # per-chip training optimum (BENCH.md batch sweep: B128 is the
+        # throughput knee on v5e; tracked so a codegen shift is visible)
+        t128, mfu128 = _train_throughput(batch=128, steps_per_dispatch=10)
+        extra["train_b128_img_per_sec"] = round(t128, 1)
+        extra["train_b128_mfu_pct"] = mfu128
 
-    # hard-benchmark accuracy gates (trains every family + the voc flow
-    # gate inside ONE budgeted, priority-ordered loop — VERDICT r03 #1)
-    if os.environ.get("BENCH_SKIP_GATES") != "1":
-        if os.environ.get("BENCH_GATE_BUDGET_S"):
-            deadline = time.time() + float(os.environ["BENCH_GATE_BUDGET_S"])
-        else:
-            deadline = _T_START + TOTAL_BUDGET_S
-        _progress(f"gate phase: {max(deadline - time.time(), 0):.0f}s "
-                  "of budget remains")
-        _gates(deadline)
+    def _x_train32():
+        t32, _ = _train_throughput()
+        extra["train_b32_img_per_sec"] = round(t32, 1)
+
+    # priority order: train B128 leads (its MFU answers the roofline
+    # question), then the serving families, then the B32 parity config
+    for tag, est, fn in (("train B128", EXTRAS_EST_S["train_b128"],
+                          _x_train128),
+                         ("resnet_fpn", EXTRAS_EST_S["resnet_fpn"],
+                          _x_resnet),
+                         ("vgg_pyramid", EXTRAS_EST_S["vgg_pyramid"],
+                          _x_vgg),
+                         ("fcn8s", EXTRAS_EST_S["fcn8s"], _x_fcn8s),
+                         ("fcn32s", EXTRAS_EST_S["fcn32s"], _x_fcn32s),
+                         ("train B32", EXTRAS_EST_S["train_b32"],
+                          _x_train32)):
+        if _fits(tag, est):
+            try:
+                fn()
+            except Exception as e:   # noqa: BLE001 — extras are fail-soft
+                _progress(f"extra[{tag}] failed: {type(e).__name__}: {e}")
+            _write_pending()
+
+    # ---- accuracy gates, later passes: leftover budget appends seeds
+    # to the highest-spread families (VERDICT r04 #9)
+    if run_gates:
+        _progress(f"gate seed passes: "
+                  f"{max(gates_deadline - time.time(), 0):.0f}s of budget"
+                  " remains")
+        _gates(gates_deadline, passes=range(1, 8), prior=gates0)
 
     line = _result_line()
     print(line)

@@ -153,6 +153,8 @@ def test_alert_tripwire(pending_state, monkeypatch, tmp_path):
         "headline_target": 5000.0,
         "family_floors": {"resnet_fpn_img_per_sec": 6500.0}}))
     monkeypatch.setattr(bench, "EXPECT_PATH", str(expect))
+    # isolate from the zero-completed-gates alert (tested separately)
+    monkeypatch.setenv("BENCH_SKIP_GATES", "1")
 
     # healthy: headline above target, family above floor
     bench._pending["value"] = 5123.4
@@ -175,9 +177,13 @@ def test_alert_tripwire(pending_state, monkeypatch, tmp_path):
 
 def test_gates_completed_field(pending_state):
     """gates_completed (VERDICT r03 #8) counts only real results —
-    skipped/error entries are incomplete, and the field always exists."""
+    skipped/error entries are incomplete, and the field always exists.
+    The denominator comes from the ONE source of truth
+    (bench_gate_configs — VERDICT r04 #2)."""
+    from tpufcn.train.gates import bench_gate_configs
+    n = len(bench_gate_configs())
     line = json.loads(bench._result_line())
-    assert line["extra"]["gates_completed"] == "0/7"
+    assert line["extra"]["gates_completed"] == f"0/{n}"
     bench._write_gates_partial({
         "googlenet": {"exact": {"mAP": 0.6}},
         "fcn32s": {"skipped": "budget", "est_s": 600},
@@ -185,4 +191,33 @@ def test_gates_completed_field(pending_state):
         "voc_fixture": {"mAP": 0.4},
     })
     line = json.loads(bench._result_line())
-    assert line["extra"]["gates_completed"] == "2/7"
+    assert line["extra"]["gates_completed"] == f"2/{n}"
+
+
+def test_tracked_gates_single_source_of_truth():
+    """bench's tracked-gate list is DERIVED from bench_gate_configs —
+    the r04 artifact's 0/7 denominator came from a drifted static copy
+    (VERDICT r04 weak #3)."""
+    from tpufcn.train.gates import bench_gate_configs
+    assert bench._tracked_gates() == tuple(bench_gate_configs())
+
+
+def test_zero_gates_alert(pending_state, monkeypatch):
+    """An artifact with NO completed accuracy gates is loud (VERDICT
+    r04 #2): ALERT fires when gates_completed is 0/N unless gates were
+    explicitly skipped via BENCH_SKIP_GATES=1."""
+    monkeypatch.delenv("BENCH_SKIP_GATES", raising=False)
+    line = json.loads(bench._result_line())
+    assert any("NO accuracy gates" in a
+               for a in line["extra"].get("ALERT", []))
+    # one completed gate clears it
+    bench._write_gates_partial({"googlenet": {"exact": {"mAP": 0.6}}})
+    line = json.loads(bench._result_line())
+    assert all("NO accuracy gates" not in a
+               for a in line["extra"].get("ALERT", []))
+    # explicit skip (dev runs) does not alert
+    bench._write_gates_partial({})
+    monkeypatch.setenv("BENCH_SKIP_GATES", "1")
+    line = json.loads(bench._result_line())
+    assert all("NO accuracy gates" not in a
+               for a in line["extra"].get("ALERT", []))

@@ -101,10 +101,11 @@ def test_eval_set_counts_and_determinism(tmp_path):
 
 
 def test_run_bench_gates_budget_skip(tmp_path):
-    """A deadline that no family's calibrated est_s fits inside skips
-    EVERY gate (no training starts) and still reports one entry per
-    family — the degraded-but-reported behavior bench.py relies on so
-    an external timeout can't kill the process mid-gate."""
+    """A deadline that no family's calibrated estimate fits inside
+    skips EVERY gate (no training starts) and still reports one entry
+    per family — the degraded-but-reported behavior bench.py relies on
+    so an external timeout can't kill the process mid-gate.  With a
+    cold root, the first-touch ``est_s0`` is the budgeted estimate."""
     import time
 
     from tpufcn.train.gates import bench_gate_configs, run_bench_gates
@@ -113,11 +114,150 @@ def test_run_bench_gates_budget_skip(tmp_path):
     out = run_bench_gates(root=str(tmp_path), log=lambda m: None,
                           deadline=time.time() + 1.0, sink=sunk.append)
     assert set(out) == set(bench_gate_configs())
-    for name, res in out.items():
-        assert res == {"skipped": "budget",
-                       "est_s": bench_gate_configs()[name]["est_s"]}
-    # nothing ran, so the after-each-family sink never fired
+    for name, cfg in bench_gate_configs().items():
+        assert out[name] == {"skipped": "budget",
+                             "est_s": cfg.get("est_s0", cfg["est_s"])}
+    # nothing ran, so the after-each-unit sink never fired
     assert sunk == []
+
+
+def test_plan_gate_units_breadth_first():
+    """Pass 0 covers seed[0] of EVERY family in config order; later
+    passes append seeds in SEED_APPEND_PRIORITY order (largest known
+    spread first), one per pass."""
+    from tpufcn.train.gates import plan_gate_units
+
+    cfgs = {"a": {"seeds": (0, 1)}, "b": {"seeds": (0,)},
+            "voc": {}, "fcn8s": {"seeds": (0, 1, 2)}}
+    units = plan_gate_units(cfgs)
+    assert units[:4] == [("a", 0), ("b", 0), ("voc", 0), ("fcn8s", 0)]
+    # pass 1: fcn8s (priority) before a (unranked); pass 2: fcn8s only
+    assert units[4:] == [("fcn8s", 1), ("a", 1), ("fcn8s", 2)]
+
+
+def test_merge_family_per_seed():
+    """Unit results merge by concatenating per-seed lists and
+    recomputing mean/min/max; diagnostics accumulate."""
+    from tpufcn.train.gates import _merge_family
+
+    a = {"exact": {"mAP": 0.2, "min": 0.2, "max": 0.2, "per_seed": [0.2]},
+         "fp8": {"mAP": 0.18, "min": 0.18, "max": 0.18, "per_seed": [0.18]},
+         "seeds": [0], "n_gt": 50, "n_det": 40, "train_s": 10.0,
+         "eval_s": 2.0, "wall_s": 12.0}
+    b = {"exact": {"mAP": 0.4, "min": 0.4, "max": 0.4, "per_seed": [0.4]},
+         "fp8": {"mAP": 0.38, "min": 0.38, "max": 0.38, "per_seed": [0.38]},
+         "seeds": [1], "n_gt": 50, "n_det": 44, "train_s": 11.0,
+         "eval_s": 2.0, "wall_s": 13.0}
+    m = _merge_family(a, b)
+    assert m["exact"] == {"mAP": 0.3, "min": 0.2, "max": 0.4,
+                          "per_seed": [0.2, 0.4]}
+    assert m["seeds"] == [0, 1]
+    assert m["n_det"] == 44 and m["train_s"] == 21.0 and m["wall_s"] == 25.0
+    # placeholder (skipped) old results are replaced, not merged
+    assert _merge_family({"skipped": "budget", "est_s": 9}, b) == b
+    # a later-seed error keeps the measured seeds and notes the error
+    m = _merge_family(a, {"error": "RuntimeError: boom", "wall_s": 1.0})
+    assert m["exact"]["per_seed"] == [0.2] and "error_later_seed" in m
+
+
+def test_run_bench_gates_unit_scheduler(monkeypatch, tmp_path):
+    """The budgeted unit scheduler (VERDICT r04 #1): breadth-first pass
+    0 under a tight budget, per-UNIT est checks (a multi-seed family is
+    never admitted on 1/N of the needed time), seed passes resume via
+    ``prior``, and partial families report seeds_skipped."""
+    import time as time_mod
+
+    from tpufcn.train import gates
+
+    clock = [1_000_000.0]
+    monkeypatch.setattr(time_mod, "time", lambda: clock[0])
+
+    cfgs = {
+        "det2": dict(kind="detection", model="m", seeds=(0, 1), est_s=10),
+        "seg1": dict(kind="segmentation", seeds=(0,), est_s=10),
+        "voc": dict(kind="voc", est_s=10),
+    }
+    calls = []
+
+    def fake_det(model, root, seeds, log, **kw):
+        calls.append(("det", seeds))
+        clock[0] += 10
+        return {"exact": {"mAP": 0.5, "min": 0.5, "max": 0.5,
+                          "per_seed": [0.5]}, "seeds": list(seeds)}
+
+    def fake_seg(root, seeds, log, **kw):
+        calls.append(("seg", seeds))
+        clock[0] += 10
+        return {"exact": {"mIoU": 0.8, "min": 0.8, "max": 0.8,
+                          "per_seed": [0.8]}, "seeds": list(seeds)}
+
+    def fake_voc(**kw):
+        calls.append(("voc", None))
+        clock[0] += 10
+        return {"mAP": 0.4}
+
+    monkeypatch.setattr(gates, "bench_gate_configs", lambda: cfgs)
+    monkeypatch.setattr(gates, "detection_gate", fake_det)
+    monkeypatch.setattr(gates, "segmentation_gate", fake_seg)
+    monkeypatch.setattr(gates, "voc_fixture_gate", fake_voc)
+    monkeypatch.setattr(gates, "_unit_cold", lambda *a: False)
+
+    # budget fits pass 0 (3 units x 10s) but NOT det2's second seed:
+    # breadth first means every family reports a real result
+    out = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                                deadline=1_000_000.0 + 35)
+    # pass 0 ran every family once, then det2's seed 1 no longer fits
+    assert calls == [("det", (0,)), ("seg", (0,)), ("voc", None)]
+    assert out["det2"]["exact"]["per_seed"] == [0.5]
+    assert out["det2"]["seeds_skipped"] == 1
+    assert out["seg1"]["exact"]["per_seed"] == [0.8]
+    assert out["voc"]["mAP"] == 0.4
+
+    # generous budget: pass 0 then the append pass; per-seed merge
+    calls.clear()
+    clock[0] = 1_000_000.0
+    out = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                                deadline=1_000_000.0 + 1000)
+    assert [c for c in calls] == [("det", (0,)), ("seg", (0,)),
+                                  ("voc", None), ("det", (1,))]
+    assert out["det2"]["exact"]["per_seed"] == [0.5, 0.5]
+    assert out["det2"]["seeds"] == [0, 1]
+
+    # split invocation (bench.py: pass 0, extras, then the rest): the
+    # second call merges into `prior` without re-running pass 0
+    calls.clear()
+    clock[0] = 1_000_000.0
+    p0 = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                               deadline=1_000_000.0 + 1000, passes=(0,))
+    assert [c for c in calls] == [("det", (0,)), ("seg", (0,)),
+                                  ("voc", None)]
+    rest = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                                 deadline=1_000_000.0 + 1000,
+                                 passes=range(1, 8), prior=p0)
+    assert calls[-1] == ("det", (1,))
+    assert rest["det2"]["exact"]["per_seed"] == [0.5, 0.5]
+    assert rest["voc"]["mAP"] == 0.4
+
+
+def test_unit_cold_probe(tmp_path):
+    """_unit_cold: cold when the unit's train-scene or eval npz is
+    missing; warm once both exist at the exact gate geometry."""
+    from tpufcn.core.config import GridConfig
+    from tpufcn.data.hardbench import eval_cache_path
+    from tpufcn.train.gates import _unit_cold, train_cache_path
+
+    cfg = dict(model="googlenet_detectnet", classes=4, im=448, stride=16,
+               steps=6000, n_cached=60, eval_images=128)
+    assert _unit_cold("detection", cfg, str(tmp_path), 0)
+    grid = GridConfig(448, 448, stride=16, num_classes=5)
+    t = train_cache_path(str(tmp_path), grid, classes=4, batch=16,
+                         n_cached=60, seed=1000)
+    e = eval_cache_path(str(tmp_path), grid, 4, 128)
+    open(t, "wb").close()
+    assert _unit_cold("detection", cfg, str(tmp_path), 0)   # eval missing
+    open(e, "wb").close()
+    assert not _unit_cold("detection", cfg, str(tmp_path), 0)
+    assert _unit_cold("detection", cfg, str(tmp_path), 1)   # other seed
 
 
 def test_gate_configs_have_cost_estimates():

@@ -316,15 +316,19 @@ def _cmd_records(args):
 
 def _cmd_gates(args):
     import sys as _sys
-    from tpufcn.train.gates import bench_gate_configs, run_bench_gates
+    from tpufcn.train.gates import (
+        bench_gate_configs, run_bench_gates, warm_gate_caches)
 
     known = sorted(bench_gate_configs())
     fams = args.family or known
     unknown = sorted(set(fams) - set(known))
     if unknown:
         raise SystemExit(f"unknown families {unknown}; have {known}")
-    out = run_bench_gates(root=args.root, only=fams,
-                          log=lambda m: print(m, file=_sys.stderr))
+    log = lambda m: print(m, file=_sys.stderr)   # noqa: E731
+    if args.warm_caches:
+        out = warm_gate_caches(root=args.root, only=fams, log=log)
+    else:
+        out = run_bench_gates(root=args.root, only=fams, log=log)
     print(json.dumps(out))
 
 
@@ -962,6 +966,10 @@ def main(argv=None):
                          "fcn8s fcn32s voc_fixture (default: all)")
     ga.add_argument("--root", default="/tmp/tpufcn_hardgate",
                     help="work/cache directory for the hard benchmark")
+    ga.add_argument("--warm-caches", action="store_true",
+                    help="compose every tracked gate's train-scene + "
+                         "eval npz caches WITHOUT training, so a later "
+                         "bench/driver run pays pure device time")
     ga.set_defaults(fn=_cmd_gates)
 
     pt = sub.add_parser(

@@ -259,6 +259,16 @@ def hard_device_pipeline(root: str, grid: GridConfig,
         backgrounds=backgrounds, box_capacity=BOX_CAPACITY, seed=seed)
 
 
+def eval_cache_path(root: str, grid: GridConfig, classes: int,
+                    n_images: int, seed: int = 99) -> str:
+    """On-disk location of the memoized held-out eval set (the gate
+    scheduler probes this to decide whether a gate unit pays
+    first-touch compose costs — tpufcn/train/gates.py)."""
+    return os.path.join(
+        root, f"hard_eval_{grid.im_height}x{grid.im_width}_s{grid.stride}"
+              f"_c{classes}_n{n_images}_seed{seed}.npz")
+
+
 def build_eval_set(root: str, grid: GridConfig, classes: int = 4,
                    n_images: int = 128, seed: int = 99,
                    chunk: int = 32):
@@ -273,9 +283,7 @@ def build_eval_set(root: str, grid: GridConfig, classes: int = 4,
     host — the cache makes every re-run (and every gate family sharing
     a config) pay it once.
     """
-    cache = os.path.join(
-        root, f"hard_eval_{grid.im_height}x{grid.im_width}_s{grid.stride}"
-              f"_c{classes}_n{n_images}_seed{seed}.npz")
+    cache = eval_cache_path(root, grid, classes, n_images, seed)
     if os.path.isfile(cache):
         z = np.load(cache, allow_pickle=False)
         gts = [(z[f"gt_c{i}"], z[f"gt_l{i}"]) for i in range(n_images)]

@@ -23,13 +23,34 @@ import numpy as np
 
 from tpufcn.core.config import DataConfig, GridConfig, TrainConfig
 from tpufcn.data.hardbench import (
-    BOX_CAPACITY, build_eval_set, hard_data_config, hard_pipeline)
+    BOX_CAPACITY, build_eval_set, eval_cache_path, hard_data_config,
+    hard_pipeline)
 
 DEFAULT_ROOT = "/tmp/tpufcn_hardgate"
 
+# Scene-cache format version: bump whenever hard_pipeline / the host
+# compositor changes the bytes it composes for a given (geometry,
+# classes, batch, n, seed) key — the key alone cannot see such a change
+# and would silently reuse stale scenes, skewing the tracked gate mAP
+# (round-4 advisor finding).  Version 1 keeps the legacy unversioned
+# tag so existing multi-GB caches stay valid; later versions append
+# ``_v{N}``.
+SCENE_CACHE_VERSION = 1
+
+
+def train_cache_path(root: str, grid: GridConfig, *, classes: int,
+                     batch: int, n_cached: int, seed: int) -> str:
+    """On-disk location of a memoized host-composited train-scene set."""
+    tag = (f"hard_train_{grid.im_height}x{grid.im_width}_s{grid.stride}"
+           f"_c{classes}_b{batch}_n{n_cached}_seed{seed}")
+    if SCENE_CACHE_VERSION > 1:
+        tag += f"_v{SCENE_CACHE_VERSION}"
+    return os.path.join(root, tag + ".npz")
+
 
 def _cached_host_batches(root: str, grid: GridConfig, *, classes: int,
-                         batch: int, n_cached: int, seed: int):
+                         batch: int, n_cached: int, seed: int,
+                         log=None):
     """The gate's fixed epoch-training scene set, composed ONCE on the
     host parity path and memoized on disk.
 
@@ -44,11 +65,14 @@ def _cached_host_batches(root: str, grid: GridConfig, *, classes: int,
     (device-composited scenes scored 0.04-0.12 mAP below host scenes on
     the host-parity eval set at matched steps: googlenet_3cls 0.208 vs
     0.249 @3k, 0.374 vs ~0.49 @6k).  Driver bench runs hit the warm
-    cache and pay pure device time."""
+    cache and pay pure device time.  ``log``: progress callback
+    (default: stderr — bench.py reserves stdout for the JSON line)."""
+    import sys as _sys
     import time as _t
-    tag = (f"hard_train_{grid.im_height}x{grid.im_width}_s{grid.stride}"
-           f"_c{classes}_b{batch}_n{n_cached}_seed{seed}")
-    path = os.path.join(root, tag + ".npz")
+    if log is None:
+        log = lambda m: print(m, file=_sys.stderr)   # noqa: E731
+    path = train_cache_path(root, grid, classes=classes, batch=batch,
+                            n_cached=n_cached, seed=seed)
     if not os.path.isfile(path):
         t0 = _t.time()
         pipe = hard_pipeline(root, grid, batch_size=batch, seed=seed,
@@ -63,8 +87,8 @@ def _cached_host_batches(root: str, grid: GridConfig, *, classes: int,
         tmp = path + ".tmp.npz"
         np.savez(tmp, **arrs)
         os.replace(tmp, path)    # atomic vs a concurrent gate run
-        print(f"gate host-batch cache: composed {tag} in "
-              f"{_t.time() - t0:.0f}s")
+        log(f"gate host-batch cache: composed {os.path.basename(path)} "
+            f"in {_t.time() - t0:.0f}s")
     z = np.load(path)
     n = z[list(z.files)[0]].shape[0]
     return [{k: (z[k][i].astype(np.int32) if k == "seg" else z[k][i])
@@ -75,7 +99,8 @@ def _train_hard(model_name: str, grid: GridConfig, root: str, *,
                 classes: int, steps: int, batch: int, n_cached: int,
                 seed: int, with_seg: bool, model_kwargs: Optional[dict],
                 lr: float = 3e-4, weights: Optional[str] = None,
-                data_mode: str = "host_cached", warmup: int = 0):
+                data_mode: str = "host_cached", warmup: int = 0,
+                log=None):
     """Train ``model_name`` on the hard benchmark with DeviceBatchCache
     epoch training (n_cached batches composed+uploaded once, reused from
     HBM) and return the final TrainState.  ``seed`` varies BOTH the
@@ -117,7 +142,7 @@ def _train_hard(model_name: str, grid: GridConfig, root: str, *,
     if data_mode == "host_cached":
         src = iter(_cached_host_batches(root, grid, classes=classes,
                                         batch=batch, n_cached=n_cached,
-                                        seed=1000 + seed))
+                                        seed=1000 + seed, log=log))
     else:
         make_pipe = (hard_device_pipeline if data_mode == "device"
                      else hard_pipeline)
@@ -172,7 +197,8 @@ def detection_gate(model_name: str, *,
                    with_seg: bool = False,
                    lr: float = 3e-4,
                    warmup: int = 0,
-                   weights: Optional[str] = None) -> Dict[str, object]:
+                   weights: Optional[str] = None,
+                   log=None) -> Dict[str, object]:
     """Train + score one detection family on the hard benchmark.
 
     Trains the EXACT model per seed and scores the same params under
@@ -208,7 +234,7 @@ def detection_gate(model_name: str, *,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=with_seg,
                             model_kwargs=model_kwargs, lr=lr,
-                            warmup=warmup, weights=weights)
+                            warmup=warmup, weights=weights, log=log)
         train_s += _t.time() - t0
         t0 = _t.time()
         m, nd = _score_detector(model_name, state.params, grid, images,
@@ -343,62 +369,217 @@ def bench_gate_configs() -> Dict[str, dict]:
     fp8 serving kwargs mirror each family's ``*_serving`` registry
     preset (pinned by tests/test_voc_e2e.py).  ``est_s`` is the
     measured PER-SEED wall (train + exact & fp8 eval, warm caches,
-    healthy tunnel) — run_bench_gates compares it against the remaining
-    budget per seed unit; ``est_s0`` (when present) overrides for the
-    first seed of a family (first-touch costs: scene-cache compose +
-    upload).  The axon tunnel degrades by up to ~5x for stretches
-    (observed round 4); the per-unit skip check degrades a slow run by
-    dropping later units, never by dying mid-gate."""
+    healthy tunnel — BENCH.md round-5 gate table); ``est_s0`` is the
+    first-touch wall (scene-cache compose + eval-set compose + first
+    compiles), applied by run_bench_gates only when ``_unit_cold``
+    finds the unit's on-disk caches missing.  The axon tunnel degrades
+    by up to ~5x for stretches (observed round 4); the per-unit skip
+    check degrades a slow run by dropping later units, never by dying
+    mid-gate."""
     import jax.numpy as jnp
     e5m2 = jnp.float8_e5m2
     return {
         "fcn32s": dict(
             kind="segmentation", steps=2500, n_cached=60, seeds=(0, 1),
-            est_s=130),
+            est_s=130, est_s0=200),
         "googlenet_3cls": dict(
             kind="detection", model="googlenet_detectnet_3cls",
             classes=3, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), lr=2e-4, eval_images=192, est_s=300,
+            seeds=(0, 1), lr=2e-4, eval_images=192, est_s=300, est_s0=520,
             serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
                             "store_stem2": True}),
         "voc_fixture": dict(kind="voc", est_s=260),
         "googlenet": dict(
             kind="detection", model="googlenet_detectnet",
             classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), est_s=300,
+            seeds=(0, 1), est_s=300, est_s0=520,
             serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
                             "store_stem2": True}),
         "fcn8s": dict(
             kind="detection", model="fcn8s_bbox",
             classes=4, im=288, stride=8, steps=6000, n_cached=90,
-            seeds=(0, 1, 2), with_seg=True, est_s=420,
+            seeds=(0, 1, 2), with_seg=True, est_s=420, est_s0=560,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
             classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), lr=1e-4, est_s=440,
+            seeds=(0, 1), lr=1e-4, est_s=440, est_s0=620,
             serving_kwargs={"store_dtype": e5m2}),
     }
+
+
+# Later-pass seed order (VERDICT r03 #4 / r04 #9): leftover budget goes
+# to extra seeds of the families with the largest KNOWN seed spread
+# first — fcn8s's measured spread is an order of magnitude
+# (0.072-0.258, BENCH.md round-3 gate table), googlenet_3cls sits near
+# a training instability, vgg_pyramid is the from-scratch-unstable VGG.
+SEED_APPEND_PRIORITY = ("fcn8s", "googlenet_3cls", "vgg_pyramid",
+                        "googlenet", "fcn32s")
+
+
+def _seed_rank(name: str) -> int:
+    try:
+        return SEED_APPEND_PRIORITY.index(name)
+    except ValueError:
+        return len(SEED_APPEND_PRIORITY)
+
+
+def plan_gate_units(cfgs: Dict[str, dict]):
+    """Breadth-first per-seed schedule: ``[(family, seed_index), ...]``.
+
+    Pass 0 runs seed[0] of EVERY family in config order, so even a
+    tight or tunnel-degraded budget produces an artifact carrying every
+    tracked key.  Later passes append one more seed per multi-seed
+    family, highest-known-spread families first (SEED_APPEND_PRIORITY).
+    """
+    units = [(name, 0) for name in cfgs]
+    n_extra = max((len(c.get("seeds", (0,))) for c in cfgs.values()),
+                  default=1) - 1
+    for p in range(1, n_extra + 1):
+        for name in sorted(cfgs, key=_seed_rank):
+            if len(cfgs[name].get("seeds", (0,))) > p:
+                units.append((name, p))
+    return units
+
+
+def _gate_defaults(fn) -> Dict[str, object]:
+    import inspect
+    return {k: v.default for k, v in inspect.signature(fn).parameters.items()
+            if v.default is not inspect.Parameter.empty}
+
+
+def _unit_cold(kind: str, cfg: dict, root: str, seed: int) -> bool:
+    """Whether this gate unit pays first-touch costs (its train-scene
+    npz or the family's eval-set npz is not on disk), i.e. whether the
+    scheduler should budget ``est_s0`` instead of the warm ``est_s``."""
+    if kind == "segmentation":
+        g = {**_gate_defaults(segmentation_gate), **cfg}
+        model_classes = g["classes"] + 1
+    elif kind == "detection":
+        from tpufcn.models import get_spec
+        g = {**_gate_defaults(detection_gate), **cfg}
+        spec = get_spec(cfg["model"])
+        model_classes = g["classes"] + (
+            1 if spec.background_channel is not None else 0)
+    else:
+        return False     # voc/pretrain first-touch costs live in est_s
+    grid = GridConfig(g["im"], g["im"], stride=g["stride"],
+                      num_classes=model_classes)
+    train = train_cache_path(root, grid, classes=g["classes"],
+                             batch=g["batch"], n_cached=g["n_cached"],
+                             seed=1000 + seed)
+    ev = eval_cache_path(root, grid, g["classes"], g["eval_images"])
+    return not (os.path.isfile(train) and os.path.isfile(ev))
+
+
+def _merge_family(old: Optional[dict], new: dict) -> dict:
+    """Fold one seed unit's result into the family's accumulated result
+    (recomputing mean/min/max over the concatenated per-seed lists)."""
+    if (not isinstance(old, dict) or "error" in old or "skipped" in old
+            or not any(isinstance(old.get(t), dict) and "per_seed" in old[t]
+                       for t in ("exact", "fp8"))):
+        return new
+    if "error" in new:
+        out = dict(old)
+        out["error_later_seed"] = new["error"]
+        return out
+    out = dict(new)
+    out["seeds"] = list(old.get("seeds", [])) + list(new.get("seeds", []))
+    for tag in ("exact", "fp8"):
+        if isinstance(old.get(tag), dict) and isinstance(new.get(tag), dict):
+            vals = list(old[tag]["per_seed"]) + list(new[tag]["per_seed"])
+            key = "mIoU" if "mIoU" in new[tag] else "mAP"
+            out[tag] = {key: round(float(np.mean(vals)), 4),
+                        "min": min(vals), "max": max(vals),
+                        "per_seed": vals}
+    if "n_det" in old or "n_det" in new:
+        out["n_det"] = max(old.get("n_det", 0), new.get("n_det", 0))
+    for k in ("train_s", "eval_s", "wall_s"):
+        if k in old or k in new:
+            out[k] = round(old.get(k, 0.0) + new.get(k, 0.0), 1)
+    return out
+
+
+def warm_gate_caches(root: str = DEFAULT_ROOT,
+                     only: Optional[Sequence[str]] = None,
+                     log=print) -> Dict[str, str]:
+    """Compose every tracked gate's on-disk inputs WITHOUT training
+    (VERDICT r04 #8): the per-seed train-scene npz caches and the
+    per-family held-out eval npz.  Run at the end of a builder session
+    (``cli gates --warm-caches``) so the driver's end-of-round bench
+    pays pure device time — the r04 driver run lost 79 s of its gate
+    budget composing cold caches.  Returns {cache path: "composed" |
+    "warm"}."""
+    from tpufcn.models import get_spec
+    out: Dict[str, str] = {}
+
+    def _touch(path, compose):
+        if os.path.isfile(path):
+            out[path] = "warm"
+        else:
+            compose()
+            out[path] = "composed"
+        log(f"{out[path]}: {os.path.basename(path)}")
+
+    for name, cfg in bench_gate_configs().items():
+        if only is not None and name not in only:
+            continue
+        kind = cfg["kind"]
+        if kind == "segmentation":
+            g = {**_gate_defaults(segmentation_gate), **cfg}
+            model_classes = g["classes"] + 1
+        elif kind == "detection":
+            g = {**_gate_defaults(detection_gate), **cfg}
+            spec = get_spec(cfg["model"])
+            model_classes = g["classes"] + (
+                1 if spec.background_channel is not None else 0)
+        else:
+            continue          # voc composes its own small inputs in-run
+        grid = GridConfig(g["im"], g["im"], stride=g["stride"],
+                          num_classes=model_classes)
+        _touch(eval_cache_path(root, grid, g["classes"], g["eval_images"]),
+               lambda: build_eval_set(root, grid, classes=g["classes"],
+                                      n_images=g["eval_images"]))
+        for seed in g.get("seeds", (0,)):
+            path = train_cache_path(root, grid, classes=g["classes"],
+                                    batch=g["batch"],
+                                    n_cached=g["n_cached"],
+                                    seed=1000 + seed)
+            _touch(path, lambda s=seed: _cached_host_batches(
+                root, grid, classes=g["classes"], batch=g["batch"],
+                n_cached=g["n_cached"], seed=1000 + s, log=log))
+    return out
 
 
 def run_bench_gates(root: str = DEFAULT_ROOT,
                     only: Optional[Sequence[str]] = None,
                     log=print,
                     deadline: Optional[float] = None,
-                    sink=None) -> Dict[str, dict]:
-    """Run every tracked family gate; -> {family: gate result dict}.
+                    sink=None,
+                    passes: Optional[Sequence[int]] = None,
+                    prior: Optional[Dict[str, dict]] = None
+                    ) -> Dict[str, dict]:
+    """Run the tracked family gates as budgeted per-seed UNITS;
+    -> {family: gate result dict}.
 
-    Fail-soft per family: one family's failure is reported as
-    {"error": ...} instead of aborting the whole bench run (the
-    headline JSON line must still print).
+    Scheduling (VERDICT r04 #1): units come from ``plan_gate_units`` —
+    pass 0 is seed[0] of every family (breadth first: the artifact
+    carries every tracked key even when the budget is tight or the
+    tunnel is degraded), later passes append seeds in
+    SEED_APPEND_PRIORITY order.  Before each unit the scheduler checks
+    the calibrated per-seed wall ``est_s`` — or ``est_s0``, the
+    first-touch wall covering scene-cache compose + first compiles,
+    whenever the unit's on-disk caches are cold (``_unit_cold``) —
+    against the remaining budget; a unit that does not fit is skipped
+    ({"skipped": "budget"} when the family has no results yet,
+    ``seeds_skipped`` noted when it does) and never risks the whole
+    bench process being killed mid-gate by an external timeout.
 
-    ``deadline`` (time.time() epoch seconds): a family whose
-    calibrated ``est_s`` does not fit in the remaining budget is
-    skipped with {"skipped": "budget"} instead of risking the whole
-    bench process being killed mid-gate by an external timeout —
-    config order is run priority, so tight budgets drop the
-    lowest-priority gates first.  ``sink(partial_results_dict)`` is
-    called after every family so partial results survive a kill.
+    Fail-soft per unit: a unit's failure is reported as {"error": ...}
+    (the family's later units are dropped — gate failures are
+    deterministic) instead of aborting the whole bench run; the
+    headline JSON line must still print.  ``sink(partial_results)`` is
+    called after every unit so partial results survive a kill.
 
     Entry kinds beyond detection/segmentation:
       * ``pretrain`` — the shared VGG16 backbone pretrain
@@ -409,21 +590,49 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
       * ``voc`` — the committed-fixture converter->records->train->eval
         flow gate (voc_fixture_gate), budgeted like every family
         (VERDICT round-3 #1: it must run INSIDE the budgeted loop).
+
+    ``passes``: when given, only units whose pass index (= seed index)
+    is in it run — bench.py runs pass 0 first (every tracked key),
+    then its throughput extras, then the later seed passes with
+    whatever budget remains.  ``prior``: results from an earlier
+    partial invocation to merge into (families it marks skipped/error
+    stay dead).
     """
     import time as _t
     import traceback
-    out: Dict[str, dict] = {}
+    cfgs = bench_gate_configs()
+    if only is not None:
+        cfgs = {k: v for k, v in cfgs.items() if k in only}
+    out: Dict[str, dict] = dict(prior) if prior else {}
+    # families with no more runnable units (reconstructed from prior:
+    # budget-skipped and errored families stay dead across invocations)
+    done: set = {n for n, r in out.items()
+                 if isinstance(r, dict) and ({"skipped", "error",
+                                              "seeds_skipped"} & r.keys())}
     pretrain_path: Optional[str] = None
-    for name, cfg in bench_gate_configs().items():
-        if only is not None and name not in only:
+    for name, si in plan_gate_units(cfgs):
+        if name in done or (passes is not None and si not in passes):
             continue
-        cfg = dict(cfg)
+        cfg = dict(cfgs[name])
         kind = cfg.pop("kind")
         est_s = cfg.pop("est_s", 0)
-        if deadline is not None and _t.time() + est_s > deadline:
-            out[name] = {"skipped": "budget", "est_s": est_s}
-            log(f"gate[{name}]: skipped — est {est_s}s exceeds the "
-                f"remaining budget ({max(deadline - _t.time(), 0):.0f}s)")
+        est_s0 = cfg.pop("est_s0", est_s)
+        seeds = tuple(cfg.pop("seeds", (0,)))
+        unit_est = (est_s0 if _unit_cold(kind, cfg, root, seeds[si])
+                    else est_s)
+        if deadline is not None and _t.time() + unit_est > deadline:
+            left = max(deadline - _t.time(), 0)
+            if name in out:
+                out[name]["seeds_skipped"] = (
+                    out[name].get("seeds_skipped", 0) + len(seeds) - si)
+                log(f"gate[{name}]: seeds {list(seeds[si:])} skipped — "
+                    f"est {unit_est:.0f}s/unit exceeds the remaining "
+                    f"budget ({left:.0f}s)")
+            else:
+                out[name] = {"skipped": "budget", "est_s": unit_est}
+                log(f"gate[{name}]: skipped — est {unit_est:.0f}s "
+                    f"exceeds the remaining budget ({left:.0f}s)")
+            done.add(name)
             continue
         t0 = _t.time()
         try:
@@ -434,21 +643,26 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
             elif kind == "voc":
                 res = voc_fixture_gate(**cfg)
             elif kind == "segmentation":
-                res = segmentation_gate(root=root, **cfg)
+                res = segmentation_gate(root=root, seeds=(seeds[si],),
+                                        log=log, **cfg)
             else:
                 model = cfg.pop("model")
-                if cfg.pop("pretrain", False):
+                fine_tune = cfg.pop("pretrain", False)
+                if fine_tune:
                     cfg["weights"] = pretrain_path
-                    res = detection_gate(model, root=root, **cfg)
+                res = detection_gate(model, root=root, seeds=(seeds[si],),
+                                     log=log, **cfg)
+                if fine_tune:
                     res["pretrained"] = pretrain_path is not None
-                else:
-                    res = detection_gate(model, root=root, **cfg)
         except Exception as e:   # noqa: BLE001 — report, don't abort
             log(traceback.format_exc())
             res = {"error": f"{type(e).__name__}: {e}"}
+            done.add(name)
         res["wall_s"] = round(_t.time() - t0, 1)
-        out[name] = res
-        log(f"gate[{name}]: {res}")
+        if kind in ("pretrain", "voc"):
+            done.add(name)       # single-unit kinds
+        out[name] = _merge_family(out.get(name), res)
+        log(f"gate[{name}] unit seed[{si}]: {res}")
         if sink is not None:
             try:
                 sink(dict(out))
@@ -467,7 +681,8 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
                       eval_images: int = 64,
                       root: str = DEFAULT_ROOT,
                       warmup: int = 0,
-                      weights: Optional[str] = None) -> Dict[str, object]:
+                      weights: Optional[str] = None,
+                      log=None) -> Dict[str, object]:
     """FCN-32s seg family gate: held-out mean-IoU on the hard benchmark
     (masks carry label+1 per compositor convention; class 0 background)."""
     import jax
@@ -490,7 +705,7 @@ def segmentation_gate(model_name: str = "fcn32s_seg", *,
                             steps=steps, batch=batch, n_cached=n_cached,
                             seed=seed, with_seg=True,
                             model_kwargs={"num_classes": C},
-                            warmup=warmup, weights=weights)
+                            warmup=warmup, weights=weights, log=log)
         train_s += _t.time() - t0
         t0 = _t.time()
         for tag, name in (("exact", model_name), ("fp8", serving_name)):
