@@ -194,6 +194,37 @@ def test_gates_completed_field(pending_state):
     assert line["extra"]["gates_completed"] == f"2/{n}"
 
 
+def test_cost_analysis_counts_scan_body_once():
+    """bench's train-MFU divisor (batch alone, NOT batch x
+    steps_per_dispatch) rests on XLA costing a lax.scan body ONCE
+    regardless of trip count; r04 divided by both and reported a 10x-low
+    6.35% (VERDICT r04 #4).  If a jax upgrade changes the convention,
+    this fails loudly and the divisor must be revisited."""
+    import jax
+
+    a = jnp.zeros((64, 64), jnp.float32)
+
+    def scan_n(n):
+        def fn(x):
+            def body(c, _):
+                return c @ x, None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+        return fn
+
+    def flops(fn):
+        c = jax.jit(fn).lower(a).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+
+    f1, f8 = flops(scan_n(1)), flops(scan_n(8))
+    assert f1 > 0
+    # the len-8 graph may add a couple of scalar loop-counter flops;
+    # a body-times-trip-count convention would be ~8x, not ~1.00x
+    assert abs(f8 - f1) < 0.01 * f1
+
+
 def test_tracked_gates_single_source_of_truth():
     """bench's tracked-gate list is DERIVED from bench_gate_configs —
     the r04 artifact's 0/7 denominator came from a drifted static copy

@@ -196,7 +196,8 @@ def test_run_bench_gates_unit_scheduler(monkeypatch, tmp_path):
         clock[0] += 10
         return {"mAP": 0.4}
 
-    monkeypatch.setattr(gates, "bench_gate_configs", lambda: cfgs)
+    monkeypatch.setattr(gates, "bench_gate_configs",
+                        lambda tier="bench": cfgs)
     monkeypatch.setattr(gates, "detection_gate", fake_det)
     monkeypatch.setattr(gates, "segmentation_gate", fake_seg)
     monkeypatch.setattr(gates, "voc_fixture_gate", fake_voc)
@@ -237,6 +238,42 @@ def test_run_bench_gates_unit_scheduler(monkeypatch, tmp_path):
     assert calls[-1] == ("det", (1,))
     assert rest["det2"]["exact"]["per_seed"] == [0.5, 0.5]
     assert rest["voc"]["mAP"] == 0.4
+
+
+def test_run_bench_gates_adaptive_degradation(monkeypatch, tmp_path):
+    """Observed unit walls rescale later estimates (median ratio): a 3x
+    tunnel-degraded run stops admitting units that nominally 'fit' on
+    stale est_s — forward-skip instead of a mid-gate external kill."""
+    import time as time_mod
+
+    from tpufcn.train import gates
+
+    clock = [1_000_000.0]
+    monkeypatch.setattr(time_mod, "time", lambda: clock[0])
+
+    cfgs = {
+        "a": dict(kind="detection", model="m", seeds=(0,), est_s=10),
+        "b": dict(kind="detection", model="m", seeds=(0,), est_s=10),
+        "c": dict(kind="detection", model="m", seeds=(0,), est_s=10),
+    }
+
+    def slow_det(model, root, seeds, log, **kw):
+        clock[0] += 30          # 3x the estimate
+        return {"exact": {"mAP": 0.5, "min": 0.5, "max": 0.5,
+                          "per_seed": [0.5]}, "seeds": list(seeds)}
+
+    monkeypatch.setattr(gates, "bench_gate_configs",
+                        lambda tier="bench": cfgs)
+    monkeypatch.setattr(gates, "detection_gate", slow_det)
+    monkeypatch.setattr(gates, "_unit_cold", lambda *a: False)
+
+    # budget 70s: naive est admits all three (3 x 10s); the adaptive
+    # factor (ratio 3 after unit a) prices b at 30s (fits: 30+30=60)
+    # and c at 30s (does not: 60+30 > 70)
+    out = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                                deadline=1_000_000.0 + 70)
+    assert "exact" in out["a"] and "exact" in out["b"]
+    assert out["c"] == {"skipped": "budget", "est_s": 30}
 
 
 def test_unit_cold_probe(tmp_path):

@@ -128,16 +128,29 @@ def test_bench_gate_configs_mirror_serving_presets():
 
     from tpufcn.train.gates import bench_gate_configs
 
-    cfgs = bench_gate_configs()
     e5m2 = jnp.float8_e5m2
-    assert cfgs["googlenet"]["serving_kwargs"] == {
-        "store_dtype": e5m2, "store_blocks": True, "store_stem2": True}
-    assert cfgs["vgg_pyramid"]["serving_kwargs"] == {"store_dtype": e5m2}
-    assert cfgs["fcn8s"]["serving_kwargs"] == {
-        "store_dtype": e5m2, "store_stages": 2}
-    # fcn8s is the high-variance family: multi-seed is required
-    assert len(cfgs["fcn8s"]["seeds"]) >= 3
-    # every detection gate must be powered and in the trackable regime
-    for name, c in cfgs.items():
+    for tier in ("bench", "full"):
+        cfgs = bench_gate_configs(tier)
+        assert cfgs["googlenet"]["serving_kwargs"] == {
+            "store_dtype": e5m2, "store_blocks": True,
+            "store_stem2": True}
+        assert cfgs["vgg_pyramid"]["serving_kwargs"] == {
+            "store_dtype": e5m2}
+        assert cfgs["fcn8s"]["serving_kwargs"] == {
+            "store_dtype": e5m2, "store_stages": 2}
+        # fcn8s is the high-variance family: multi-seed is required
+        assert len(cfgs["fcn8s"]["seeds"]) >= 3
+        # both tiers keep every family and the same tracked keys
+        assert set(cfgs) == set(bench_gate_configs("bench"))
+    # full tier: the deep-calibration regime
+    for name, c in bench_gate_configs("full").items():
         if c["kind"] == "detection":
             assert c["classes"] >= 3 and c["steps"] >= 2000
+    # bench (capture) tier: driver-window-sized but still powered —
+    # every detection family keeps >= 64 eval images (the n_det >= 100
+    # power floor at the measured detection densities) and enough
+    # steps to sit mid-curve (two-sided trend, BENCH.md round-5 table)
+    for name, c in bench_gate_configs("bench").items():
+        if c["kind"] == "detection":
+            assert c["classes"] >= 3 and c["steps"] >= 800
+            assert c.get("eval_images", 128) >= 64

@@ -319,16 +319,18 @@ def _cmd_gates(args):
     from tpufcn.train.gates import (
         bench_gate_configs, run_bench_gates, warm_gate_caches)
 
-    known = sorted(bench_gate_configs())
+    known = sorted(bench_gate_configs(args.tier))
     fams = args.family or known
     unknown = sorted(set(fams) - set(known))
     if unknown:
         raise SystemExit(f"unknown families {unknown}; have {known}")
     log = lambda m: print(m, file=_sys.stderr)   # noqa: E731
     if args.warm_caches:
-        out = warm_gate_caches(root=args.root, only=fams, log=log)
+        out = warm_gate_caches(root=args.root, only=fams, log=log,
+                               tier=args.tier)
     else:
-        out = run_bench_gates(root=args.root, only=fams, log=log)
+        out = run_bench_gates(root=args.root, only=fams, log=log,
+                              tier=args.tier)
     print(json.dumps(out))
 
 
@@ -970,6 +972,10 @@ def main(argv=None):
                     help="compose every tracked gate's train-scene + "
                          "eval npz caches WITHOUT training, so a later "
                          "bench/driver run pays pure device time")
+    ga.add_argument("--tier", choices=("bench", "full"), default="bench",
+                    help="'bench': the tracked capture tier bench.py "
+                         "runs (b32, driver-window-sized); 'full': the "
+                         "b16/6k-step deep-calibration regime")
     ga.set_defaults(fn=_cmd_gates)
 
     pt = sub.add_parser(

@@ -337,8 +337,24 @@ def voc_fixture_gate(fixture_root: Optional[str] = None, *,
     return res
 
 
-def bench_gate_configs() -> Dict[str, dict]:
+def bench_gate_configs(tier: str = "bench") -> Dict[str, dict]:
     """The tracked per-family gate configurations (bench.py extras).
+
+    Two tiers (VERDICT r04 #1c):
+
+    * ``"bench"`` (default — what bench.py and the driver run): the
+      capture tier, sized so PASS 0 (seed[0] of all six families) fits
+      the observed ~19-min driver window alongside the headline
+      phase.  Batch 32 (the gate's r03/r04 batch-16 training paid a
+      measured ~1.8x per-image small-batch tax: fcn32s b16 1.6 ms/img
+      vs the b32 tracker's 0.9), fewer steps, halved eval sets.
+      Tracked values re-pinned on TPU (BENCH.md round-5 gate table);
+      they sit lower on the training curve than the full tier by
+      design — the gate's job is to TREND, two-sided, not to reach the
+      best reachable mAP.
+    * ``"full"``: the r03/r04 deep-calibration regime (batch 16, 6k
+      steps) — `cli gates --tier full`; the round-5 full-tier
+      calibration numbers are the BENCH.md reference points.
 
     Round-4 redesign (VERDICT r03 #1/#3/#4), driven by a measured
     isolation matrix (BENCH.md round-4 calibration):
@@ -378,32 +394,63 @@ def bench_gate_configs() -> Dict[str, dict]:
     mid-gate."""
     import jax.numpy as jnp
     e5m2 = jnp.float8_e5m2
+    gnet_fp8 = {"store_dtype": e5m2, "store_blocks": True,
+                "store_stem2": True}
+    if tier == "full":
+        # est_s: round-5 quiet-host TPU walls (BENCH.md round-5
+        # full-tier table); contended walls ran up to ~2x these
+        return {
+            "fcn32s": dict(
+                kind="segmentation", steps=2500, n_cached=60,
+                seeds=(0, 1), est_s=350, est_s0=420),
+            "googlenet_3cls": dict(
+                kind="detection", model="googlenet_detectnet_3cls",
+                classes=3, im=448, stride=16, steps=6000, n_cached=60,
+                seeds=(0, 1), lr=2e-4, eval_images=192, est_s=880,
+                est_s0=1030, serving_kwargs=dict(gnet_fp8)),
+            "voc_fixture": dict(kind="voc", est_s=100),
+            "googlenet": dict(
+                kind="detection", model="googlenet_detectnet",
+                classes=4, im=448, stride=16, steps=6000, n_cached=60,
+                seeds=(0, 1), est_s=830, est_s0=980,
+                serving_kwargs=dict(gnet_fp8)),
+            "fcn8s": dict(
+                kind="detection", model="fcn8s_bbox",
+                classes=4, im=288, stride=8, steps=6000, n_cached=90,
+                seeds=(0, 1, 2), with_seg=True, est_s=860, est_s0=1000,
+                serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
+            "vgg_pyramid": dict(
+                kind="detection", model="vgg_pyramid_detectnet",
+                classes=4, im=448, stride=16, steps=6000, n_cached=60,
+                seeds=(0, 1), lr=1e-4, est_s=1550, est_s0=1700,
+                serving_kwargs={"store_dtype": e5m2}),
+        }
     return {
         "fcn32s": dict(
-            kind="segmentation", steps=2500, n_cached=60, seeds=(0, 1),
-            est_s=130, est_s0=200),
+            kind="segmentation", steps=1250, batch=32, n_cached=30,
+            seeds=(0, 1), est_s=110, est_s0=170),
         "googlenet_3cls": dict(
             kind="detection", model="googlenet_detectnet_3cls",
-            classes=3, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), lr=2e-4, eval_images=192, est_s=300, est_s0=520,
-            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
-                            "store_stem2": True}),
-        "voc_fixture": dict(kind="voc", est_s=260),
+            classes=3, im=448, stride=16, steps=1200, batch=32,
+            n_cached=30, seeds=(0, 1), lr=2e-4, eval_images=96,
+            est_s=230, est_s0=330, serving_kwargs=dict(gnet_fp8)),
+        "voc_fixture": dict(kind="voc", est_s=100),
         "googlenet": dict(
             kind="detection", model="googlenet_detectnet",
-            classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), est_s=300, est_s0=520,
-            serving_kwargs={"store_dtype": e5m2, "store_blocks": True,
-                            "store_stem2": True}),
+            classes=4, im=448, stride=16, steps=1200, batch=32,
+            n_cached=30, seeds=(0, 1), eval_images=64, est_s=210,
+            est_s0=310, serving_kwargs=dict(gnet_fp8)),
         "fcn8s": dict(
             kind="detection", model="fcn8s_bbox",
-            classes=4, im=288, stride=8, steps=6000, n_cached=90,
-            seeds=(0, 1, 2), with_seg=True, est_s=420, est_s0=560,
+            classes=4, im=288, stride=8, steps=1800, batch=32,
+            n_cached=45, seeds=(0, 1, 2), with_seg=True,
+            eval_images=64, est_s=200, est_s0=280,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
-            classes=4, im=448, stride=16, steps=6000, n_cached=60,
-            seeds=(0, 1), lr=1e-4, est_s=440, est_s0=620,
+            classes=4, im=448, stride=16, steps=800, batch=32,
+            n_cached=30, seeds=(0, 1), lr=1e-4, eval_images=64,
+            est_s=250, est_s0=350,
             serving_kwargs={"store_dtype": e5m2}),
     }
 
@@ -502,7 +549,7 @@ def _merge_family(old: Optional[dict], new: dict) -> dict:
 
 def warm_gate_caches(root: str = DEFAULT_ROOT,
                      only: Optional[Sequence[str]] = None,
-                     log=print) -> Dict[str, str]:
+                     log=print, tier: str = "bench") -> Dict[str, str]:
     """Compose every tracked gate's on-disk inputs WITHOUT training
     (VERDICT r04 #8): the per-seed train-scene npz caches and the
     per-family held-out eval npz.  Run at the end of a builder session
@@ -521,7 +568,7 @@ def warm_gate_caches(root: str = DEFAULT_ROOT,
             out[path] = "composed"
         log(f"{out[path]}: {os.path.basename(path)}")
 
-    for name, cfg in bench_gate_configs().items():
+    for name, cfg in bench_gate_configs(tier).items():
         if only is not None and name not in only:
             continue
         kind = cfg["kind"]
@@ -557,8 +604,8 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
                     deadline: Optional[float] = None,
                     sink=None,
                     passes: Optional[Sequence[int]] = None,
-                    prior: Optional[Dict[str, dict]] = None
-                    ) -> Dict[str, dict]:
+                    prior: Optional[Dict[str, dict]] = None,
+                    tier: str = "bench") -> Dict[str, dict]:
     """Run the tracked family gates as budgeted per-seed UNITS;
     -> {family: gate result dict}.
 
@@ -574,6 +621,11 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
     ({"skipped": "budget"} when the family has no results yet,
     ``seeds_skipped`` noted when it does) and never risks the whole
     bench process being killed mid-gate by an external timeout.
+    Estimates self-correct DURING the run: each completed unit's
+    wall/est ratio feeds a median factor applied to later estimates,
+    so a tunnel-degraded run (walls up to ~5x est, observed r04/r05)
+    skips forward-looking rather than dying, and a healthy run admits
+    more seed units than the conservative est_s alone would.
 
     Fail-soft per unit: a unit's failure is reported as {"error": ...}
     (the family's later units are dropped — gate failures are
@@ -600,7 +652,7 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
     """
     import time as _t
     import traceback
-    cfgs = bench_gate_configs()
+    cfgs = bench_gate_configs(tier)
     if only is not None:
         cfgs = {k: v for k, v in cfgs.items() if k in only}
     out: Dict[str, dict] = dict(prior) if prior else {}
@@ -610,6 +662,19 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
                  if isinstance(r, dict) and ({"skipped", "error",
                                               "seeds_skipped"} & r.keys())}
     pretrain_path: Optional[str] = None
+    # Adaptive wall scaling: the axon tunnel degrades up to ~5x for
+    # stretches and a healthy run beats the calibrated est_s — scale
+    # later unit estimates by the median observed wall/est ratio so a
+    # degraded run skips early (instead of being killed mid-gate) and
+    # a fast run admits more units.  Bounded below so one lucky unit
+    # cannot talk the scheduler into overcommitting.
+    ratios: list = []
+
+    def _factor():
+        if not ratios:
+            return 1.0
+        return max(0.6, float(np.median(ratios)))
+
     for name, si in plan_gate_units(cfgs):
         if name in done or (passes is not None and si not in passes):
             continue
@@ -618,8 +683,9 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
         est_s = cfg.pop("est_s", 0)
         est_s0 = cfg.pop("est_s0", est_s)
         seeds = tuple(cfg.pop("seeds", (0,)))
-        unit_est = (est_s0 if _unit_cold(kind, cfg, root, seeds[si])
+        base_est = (est_s0 if _unit_cold(kind, cfg, root, seeds[si])
                     else est_s)
+        unit_est = base_est * _factor()
         if deadline is not None and _t.time() + unit_est > deadline:
             left = max(deadline - _t.time(), 0)
             if name in out:
@@ -629,7 +695,8 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
                     f"est {unit_est:.0f}s/unit exceeds the remaining "
                     f"budget ({left:.0f}s)")
             else:
-                out[name] = {"skipped": "budget", "est_s": unit_est}
+                out[name] = {"skipped": "budget",
+                             "est_s": round(unit_est, 1)}
                 log(f"gate[{name}]: skipped — est {unit_est:.0f}s "
                     f"exceeds the remaining budget ({left:.0f}s)")
             done.add(name)
@@ -659,6 +726,8 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
             res = {"error": f"{type(e).__name__}: {e}"}
             done.add(name)
         res["wall_s"] = round(_t.time() - t0, 1)
+        if base_est > 0:
+            ratios.append((_t.time() - t0) / base_est)
         if kind in ("pretrain", "voc"):
             done.add(name)       # single-unit kinds
         out[name] = _merge_family(out.get(name), res)
