@@ -425,33 +425,41 @@ def bench_gate_configs(tier: str = "bench") -> Dict[str, dict]:
                 seeds=(0, 1), lr=1e-4, est_s=1550, est_s0=1700,
                 serving_kwargs={"store_dtype": e5m2}),
         }
+    # Capture-tier shape (round-5 TPU pins, BENCH.md round-5 table):
+    # segmentation keeps batch 32 (image-bound: b32x1250 matches the
+    # full tier's mIoU on the same 40k images), but DETECTION reverted
+    # to batch 16 — convergence there is adam-STEP-bound (b32/1200
+    # collapsed BOTH googlenets to 0 detections while b16 at the same
+    # per-family wall trains ~2x the steps).  Config order = run
+    # priority, cheapest first, so a degraded budget still maximizes
+    # gates_completed.
     return {
         "fcn32s": dict(
             kind="segmentation", steps=1250, batch=32, n_cached=30,
             seeds=(0, 1), est_s=110, est_s0=170),
-        "googlenet_3cls": dict(
-            kind="detection", model="googlenet_detectnet_3cls",
-            classes=3, im=448, stride=16, steps=1200, batch=32,
-            n_cached=30, seeds=(0, 1), lr=2e-4, eval_images=96,
-            est_s=230, est_s0=330, serving_kwargs=dict(gnet_fp8)),
         "voc_fixture": dict(kind="voc", est_s=100),
-        "googlenet": dict(
-            kind="detection", model="googlenet_detectnet",
-            classes=4, im=448, stride=16, steps=1200, batch=32,
-            n_cached=30, seeds=(0, 1), eval_images=64, est_s=210,
-            est_s0=310, serving_kwargs=dict(gnet_fp8)),
         "fcn8s": dict(
             kind="detection", model="fcn8s_bbox",
-            classes=4, im=288, stride=8, steps=1800, batch=32,
-            n_cached=45, seeds=(0, 1, 2), with_seg=True,
-            eval_images=64, est_s=200, est_s0=280,
+            classes=4, im=288, stride=8, steps=2500, n_cached=90,
+            seeds=(0, 1, 2), with_seg=True, eval_images=64,
+            est_s=220, est_s0=290,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
-            classes=4, im=448, stride=16, steps=800, batch=32,
-            n_cached=30, seeds=(0, 1), lr=1e-4, eval_images=64,
-            est_s=250, est_s0=350,
+            classes=4, im=448, stride=16, steps=2000, n_cached=60,
+            seeds=(0, 1), lr=1e-4, eval_images=64,
+            est_s=300, est_s0=380,
             serving_kwargs={"store_dtype": e5m2}),
+        "googlenet_3cls": dict(
+            kind="detection", model="googlenet_detectnet_3cls",
+            classes=3, im=448, stride=16, steps=2000, n_cached=60,
+            seeds=(0, 1), lr=1e-4, eval_images=96, est_s=320,
+            est_s0=400, serving_kwargs=dict(gnet_fp8)),
+        "googlenet": dict(
+            kind="detection", model="googlenet_detectnet",
+            classes=4, im=448, stride=16, steps=2000, n_cached=60,
+            seeds=(0, 1), eval_images=128, est_s=330, est_s0=410,
+            serving_kwargs=dict(gnet_fp8)),
     }
 
 
