@@ -140,8 +140,12 @@ def test_bench_gate_configs_mirror_serving_presets():
             "store_dtype": e5m2, "store_stages": 2}
         # fcn8s is the high-variance family: multi-seed is required
         assert len(cfgs["fcn8s"]["seeds"]) >= 3
-        # both tiers keep every family and the same tracked keys
-        assert set(cfgs) == set(bench_gate_configs("bench"))
+        # both tiers keep every FAMILY gate (the bench tier adds the
+        # pretrain unit that seeds vgg_pyramid; the full tier trains
+        # 6k-step scratch where pretrain measured neutral-to-negative)
+        fams = lambda c: {k for k, v in c.items()       # noqa: E731
+                          if v.get("kind") != "pretrain"}
+        assert fams(cfgs) == fams(bench_gate_configs("bench"))
     # full tier: the deep-calibration regime
     for name, c in bench_gate_configs("full").items():
         if c["kind"] == "detection":

@@ -444,10 +444,20 @@ def bench_gate_configs(tier: str = "bench") -> Dict[str, dict]:
             seeds=(0, 1, 2), with_seg=True, eval_images=64,
             est_s=220, est_s0=290,
             serving_kwargs={"store_dtype": e5m2, "store_stages": 2}),
+        # the shared VGG16 backbone pretrain (round-5 experiment,
+        # BENCH.md: fine-tune BEATS scratch for vgg_pyramid at the
+        # capture horizon — scratch 0.0 mAP / 0 detections vs 0.0232 /
+        # 64 seed-paired — while fcn8s is slightly better from scratch
+        # (0.3047 vs 0.2856), so only vgg_pyramid consumes it).
+        # Cached on disk: warm runs cost seconds, est_s0 covers the
+        # cold ~350 s train.
+        "vgg16_pretrain": dict(
+            kind="pretrain", classes=6, steps=4000, size=128,
+            n_bank=8192, lr=1e-4, seed=0, est_s=40, est_s0=380),
         "vgg_pyramid": dict(
             kind="detection", model="vgg_pyramid_detectnet",
             classes=4, im=448, stride=16, steps=2000, n_cached=60,
-            seeds=(0, 1), lr=1e-4, eval_images=64,
+            seeds=(0, 1), lr=1e-4, eval_images=64, pretrain=True,
             est_s=300, est_s0=380,
             serving_kwargs={"store_dtype": e5m2}),
         "googlenet_3cls": dict(
@@ -507,6 +517,9 @@ def _unit_cold(kind: str, cfg: dict, root: str, seed: int) -> bool:
     """Whether this gate unit pays first-touch costs (its train-scene
     npz or the family's eval-set npz is not on disk), i.e. whether the
     scheduler should budget ``est_s0`` instead of the warm ``est_s``."""
+    if kind == "pretrain":
+        from tpufcn.train.pretrain import pretrain_cache_path
+        return not os.path.isfile(pretrain_cache_path(root, **cfg))
     if kind == "segmentation":
         g = {**_gate_defaults(segmentation_gate), **cfg}
         model_classes = g["classes"] + 1
@@ -517,7 +530,7 @@ def _unit_cold(kind: str, cfg: dict, root: str, seed: int) -> bool:
         model_classes = g["classes"] + (
             1 if spec.background_channel is not None else 0)
     else:
-        return False     # voc/pretrain first-touch costs live in est_s
+        return False     # voc first-touch costs live in est_s
     grid = GridConfig(g["im"], g["im"], stride=g["stride"],
                       num_classes=model_classes)
     train = train_cache_path(root, grid, classes=g["classes"],
@@ -588,6 +601,17 @@ def warm_gate_caches(root: str = DEFAULT_ROOT,
             spec = get_spec(cfg["model"])
             model_classes = g["classes"] + (
                 1 if spec.background_channel is not None else 0)
+        elif kind == "pretrain":
+            # NOTE: a cold pretrain trains on the active jax backend
+            # (~350 s on TPU) — the one warm-caches step that is not
+            # host-only compositing
+            from tpufcn.train.pretrain import (
+                cached_vgg16_pretrain, pretrain_cache_path)
+            c = {k: v for k, v in cfg.items()
+                 if k not in ("kind", "est_s", "est_s0")}
+            _touch(pretrain_cache_path(root, **c),
+                   lambda: cached_vgg16_pretrain(root, log=log, **c))
+            continue
         else:
             continue          # voc composes its own small inputs in-run
         grid = GridConfig(g["im"], g["im"], stride=g["stride"],
@@ -669,7 +693,14 @@ def run_bench_gates(root: str = DEFAULT_ROOT,
     done: set = {n for n, r in out.items()
                  if isinstance(r, dict) and ({"skipped", "error",
                                               "seeds_skipped"} & r.keys())}
+    # a pretrain unit completed in an earlier partial invocation
+    # (bench.py pass split) re-resolves from its prior result, so
+    # later-pass fine-tune seeds still find the backbone
     pretrain_path: Optional[str] = None
+    for n, r in out.items():
+        if (cfgs.get(n, {}).get("kind") == "pretrain"
+                and isinstance(r, dict) and r.get("path")):
+            pretrain_path = r["path"]
     # Adaptive wall scaling: the axon tunnel degrades up to ~5x for
     # stretches and a healthy run beats the calibrated est_s — scale
     # later unit estimates by the median observed wall/est ratio so a

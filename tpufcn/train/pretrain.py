@@ -179,17 +179,37 @@ def pretrain_vgg16(out_path: str, *, classes: int = 4, steps: int = 1500,
 
 def cached_vgg16_pretrain(root: str, *, classes: int = 4,
                           steps: int = 1500, seed: int = 0,
-                          log=None) -> str:
-    """Pretrain once per ``root`` and reuse the exported caffemodel
-    (the gate suite shares one backbone across the VGG families, like
-    the reference shares one ILSVRC VGG16.caffemodel across recipes)."""
-    path = os.path.join(root, f"vgg16_hardbench_c{classes}_s{steps}"
-                              f"_seed{seed}.caffemodel")
+                          size: int = 96, n_bank: int = 4096,
+                          lr: float = 3e-4, log=None) -> str:
+    """Pretrain once per ``root``+config and reuse the exported
+    caffemodel (the gate suite shares one backbone across the VGG
+    families, like the reference shares one ILSVRC VGG16.caffemodel
+    across recipes).  The cache tag carries every config knob so a
+    recipe change can never silently reuse a stale backbone.
+
+    Round-5 calibration: lr is REGIME-CRITICAL — the 8-way 128-144 px
+    task trains to acc 1.0 at lr 1e-4 but sits AT CHANCE (acc 0.148,
+    loss ln 8) after 4k steps at lr 3e-4 (the VGG-from-scratch
+    instability again; BENCH.md round-5 pretrain table)."""
+    path = pretrain_cache_path(root, classes=classes, steps=steps,
+                               seed=seed, size=size, n_bank=n_bank,
+                               lr=lr)
     if os.path.isfile(path):
         return path
     os.makedirs(root, exist_ok=True)
     res = pretrain_vgg16(path, classes=classes, steps=steps, seed=seed,
-                         log=log)
+                         size=size, n_bank=n_bank, lr=lr, log=log)
     if log:
         log(f"pretrain: cached {path} ({res})")
     return path
+
+
+def pretrain_cache_path(root: str, *, classes: int = 4,
+                        steps: int = 1500, seed: int = 0,
+                        size: int = 96, n_bank: int = 4096,
+                        lr: float = 3e-4) -> str:
+    """On-disk location of a cached pretrain (probed by the gate
+    scheduler's first-touch cost check, tpufcn/train/gates.py)."""
+    return os.path.join(
+        root, f"vgg16_hardbench_c{classes}_s{steps}_sz{size}_n{n_bank}"
+              f"_lr{lr:g}_seed{seed}.caffemodel")
