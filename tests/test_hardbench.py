@@ -276,6 +276,100 @@ def test_run_bench_gates_adaptive_degradation(monkeypatch, tmp_path):
     assert out["c"] == {"skipped": "budget", "est_s": 30}
 
 
+def test_pretrain_path_resolves_across_invocations(monkeypatch, tmp_path):
+    """The bench pass split (pass 0 -> extras -> seed passes) runs
+    run_bench_gates twice; a pretrain unit completed in pass 0 must be
+    re-resolved from ``prior`` so later-pass fine-tune seeds still get
+    the backbone instead of silently training from scratch."""
+    import time as time_mod
+
+    from tpufcn.train import gates
+
+    clock = [1_000_000.0]
+    monkeypatch.setattr(time_mod, "time", lambda: clock[0])
+
+    cfgs = {
+        "pre": dict(kind="pretrain", classes=6, steps=4, est_s=1),
+        "vgg": dict(kind="detection", model="m", seeds=(0, 1),
+                    pretrain=True, est_s=1),
+    }
+    weights_seen = []
+
+    def fake_det(model, root, seeds, log, weights=None, **kw):
+        weights_seen.append(weights)
+        clock[0] += 1
+        return {"exact": {"mAP": 0.1, "min": 0.1, "max": 0.1,
+                          "per_seed": [0.1]}, "seeds": list(seeds)}
+
+    def fake_pretrain(root, log, **kw):
+        clock[0] += 1
+        return "/fake/backbone.caffemodel"
+
+    import tpufcn.train.pretrain as pretrain_mod
+    monkeypatch.setattr(gates, "bench_gate_configs",
+                        lambda tier="bench": cfgs)
+    monkeypatch.setattr(gates, "detection_gate", fake_det)
+    monkeypatch.setattr(pretrain_mod, "cached_vgg16_pretrain",
+                        fake_pretrain)
+    monkeypatch.setattr(gates, "_unit_cold", lambda *a: False)
+
+    p0 = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                               deadline=1_000_000.0 + 100, passes=(0,))
+    assert p0["pre"]["path"] == "/fake/backbone.caffemodel"
+    assert p0["vgg"]["pretrained"] is True
+    rest = gates.run_bench_gates(root=str(tmp_path), log=lambda m: None,
+                                 deadline=1_000_000.0 + 100,
+                                 passes=range(1, 8), prior=p0)
+    # BOTH seeds fine-tuned from the pass-0 backbone
+    assert weights_seen == ["/fake/backbone.caffemodel"] * 2
+    assert rest["vgg"]["exact"]["per_seed"] == [0.1, 0.1]
+
+
+def test_warm_gate_caches_composes_missing(monkeypatch, tmp_path):
+    """warm_gate_caches touches every tier input: composes what is
+    missing, reports what is already on disk, and warms the cached
+    pretrain via its cache path."""
+    from tpufcn.train import gates
+
+    cfgs = {
+        "pre": dict(kind="pretrain", classes=6, steps=4, est_s=1),
+        "voc": dict(kind="voc", est_s=1),
+        "det": dict(kind="detection", model="googlenet_detectnet",
+                    classes=4, im=64, stride=16, batch=2, n_cached=2,
+                    eval_images=2, seeds=(0,), est_s=1),
+    }
+    monkeypatch.setattr(gates, "bench_gate_configs",
+                        lambda tier="bench": cfgs)
+
+    composed = []
+    monkeypatch.setattr(gates, "_cached_host_batches",
+                        lambda *a, **k: composed.append("train"))
+    monkeypatch.setattr(gates, "build_eval_set",
+                        lambda *a, **k: composed.append("eval"))
+    import tpufcn.train.pretrain as pretrain_mod
+
+    def fake_cached(root, log=None, **kw):
+        p = pretrain_mod.pretrain_cache_path(root, **kw)
+        open(p, "wb").close()
+        composed.append("pretrain")
+        return p
+
+    monkeypatch.setattr(pretrain_mod, "cached_vgg16_pretrain",
+                        fake_cached)
+
+    out = gates.warm_gate_caches(root=str(tmp_path), log=lambda m: None)
+    # voc composes in-run (skipped); det contributes eval + 1 seed
+    # train cache; pretrain composed via its cache path
+    assert sorted(composed) == ["eval", "pretrain", "train"]
+    assert sorted(out.values()) == ["composed", "composed", "composed"]
+    # second call: nothing recomposes... (the fakes wrote no npz files,
+    # so only the pretrain — whose fake DID write its file — is warm)
+    composed.clear()
+    out2 = gates.warm_gate_caches(root=str(tmp_path),
+                                  log=lambda m: None)
+    assert "pretrain" not in composed
+
+
 def test_unit_cold_probe(tmp_path):
     """_unit_cold: cold when the unit's train-scene or eval npz is
     missing; warm once both exist at the exact gate geometry."""
